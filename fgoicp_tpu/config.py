@@ -1,0 +1,153 @@
+"""TOML run-configuration with schema parity to the reference.
+
+The reference parses `[io] target/source/output/visualization` and
+`[params] trim/target_subsample/source_subsample/lut_resolution/mse_threshold`
+with clamping rules (/root/reference/src/utilities.hpp:18-107).  This module
+keeps that schema bit-for-bit (same keys, same defaults, same clamps) and adds
+an optional `[engine]` section exposing every knob the reference hard-codes
+(ICP iteration counts and thresholds, span cutoffs, batch sizes — see
+/root/reference/fgoicp/fgoicp.cpp:12,22,53,76,122,155) plus TPU-specific
+settings (frontier capacity, seed, LUT dtype/builder, mesh axes).
+
+Unlike the reference, subsampling here is seeded and deterministic (the
+reference uses std::random_device, utilities.hpp:149-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import tomllib
+from typing import Optional
+
+from .utils import logging as log
+
+
+def _clamp(x: float, lo: float, hi: float) -> float:
+    return min(max(x, lo), hi)
+
+
+@dataclasses.dataclass
+class IOConfig:
+    target: str = ""
+    source: str = ""
+    output: str = ""          # result toml path ("" = skip)
+    visualization: str = ""   # transformed-source ply path ("" = skip)
+
+
+@dataclasses.dataclass
+class Params:
+    # Reference [params] schema (utilities.hpp:29-36,94-104).
+    trim: bool = False
+    target_subsample: float = 1.0
+    source_subsample: float = 1.0
+    lut_resolution: float = 0.005
+    mse_threshold: float = 1e-3
+    # Trimming fraction actually used when trim=True.  The reference parses
+    # `trim` but never implements it (SURVEY: utilities.hpp:94 only); here it
+    # is functional: the SSE keeps only the best (1-trim_fraction) residuals.
+    trim_fraction: float = 0.1
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Knobs the reference hard-codes, plus TPU-native settings."""
+
+    seed: int = 0
+    # BnB geometry (fgoicp.cpp:36,53,113,155).
+    rotation_min_span: float = 0.05
+    translation_min_span: float = 0.1
+    # Inner-BnB batching: the reference pops <=32 nodes per step and runs one
+    # CUDA stream per node (fgoicp.cpp:122, common.hpp:138-164).  Here a batch
+    # is one lane-axis of a single jitted evaluation.
+    translation_batch: int = 32
+    # Number of rotation nodes popped from the outer queue per device step;
+    # their (up to) 8 children each run inner BnB in lockstep on-device.
+    rotation_batch: int = 4
+    # Fixed capacity of the per-group device translation frontier.
+    frontier_capacity: int = 4096
+    # ICP (fgoicp.cpp:12,22,76).
+    icp_max_iter: int = 100
+    icp_convergence_init: float = 0.05
+    icp_convergence_bnb: float = 0.005
+    icp_convergence_final: float = 0.0005
+    icp_trigger_factor: float = 1.8
+    # Bound math: when True, reproduce the reference's rotation-uncertainty
+    # radius exactly (squared point norm, unclamped half-angle,
+    # registration.cu:39-43); when False use the Go-ICP paper's correct form
+    # (point norm, half-angle clamped to pi/2).
+    ref_compat_gamma: bool = False
+    # Distance field.
+    lut_dtype: str = "float32"      # float32 | bfloat16 | float16
+    lut_builder: str = "auto"       # auto | brute | edt
+    lut_max_dim: int = 2048         # hard error above (registration.cu:191)
+    lut_warn_dim: int = 1024        # warn above (registration.cu:195)
+    # Parallel layout.
+    mesh_cubes: int = 1             # devices along the rotation-cube axis
+    mesh_points: int = 1            # devices sharding the source-point axis
+    # Checkpoint/resume of BnB state ("" = disabled).
+    checkpoint_path: str = ""
+    checkpoint_every: int = 0       # outer steps between checkpoints
+
+
+@dataclasses.dataclass
+class Config:
+    io: IOConfig = dataclasses.field(default_factory=IOConfig)
+    params: Params = dataclasses.field(default_factory=Params)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+
+    @classmethod
+    def from_toml(cls, path: str) -> "Config":
+        base = path.replace("\\", "/").rsplit("/", 1)[-1]
+        log.info(f"Reading configurations from {base}")
+        with open(path, "rb") as f:
+            tbl = tomllib.load(f)
+        cfg = cls.from_dict(tbl)
+        log.info(str(cfg))
+        return cfg
+
+    @classmethod
+    def from_dict(cls, tbl: dict) -> "Config":
+        cfg = cls()
+        io_s = tbl.get("io", {})
+        cfg.io.target = io_s.get("target", "")
+        cfg.io.source = io_s.get("source", "")
+        cfg.io.output = io_s.get("output", "")
+        cfg.io.visualization = io_s.get("visualization", "")
+
+        p = tbl.get("params", {})
+        cfg.params.trim = bool(p.get("trim", False))
+        cfg.params.target_subsample = float(p.get("target_subsample", 1.0))
+        cfg.params.source_subsample = float(p.get("source_subsample", 1.0))
+        cfg.params.lut_resolution = float(p.get("lut_resolution", 0.005))
+        cfg.params.mse_threshold = float(p.get("mse_threshold", 1e-3))
+        cfg.params.trim_fraction = float(p.get("trim_fraction", 0.1))
+
+        # Reference clamps (utilities.hpp:101-104): subsamples to [1e-5, 1],
+        # source further to <=0.5, mse to >=1e-12.
+        cfg.params.target_subsample = _clamp(cfg.params.target_subsample, 1e-5, 1.0)
+        cfg.params.source_subsample = _clamp(cfg.params.source_subsample, 1e-5, 1.0)
+        cfg.params.source_subsample = _clamp(cfg.params.source_subsample, 1e-5, 0.5)
+        cfg.params.mse_threshold = _clamp(cfg.params.mse_threshold, 1e-12, math.inf)
+        cfg.params.trim_fraction = _clamp(cfg.params.trim_fraction, 0.0, 0.9)
+
+        e = tbl.get("engine", {})
+        for f in dataclasses.fields(EngineConfig):
+            if f.name in e:
+                setattr(cfg.engine, f.name, f.type_cast(e[f.name]) if hasattr(f, "type_cast") else type(getattr(cfg.engine, f.name))(e[f.name]))
+        return cfg
+
+    def __str__(self) -> str:
+        # Mirrors the reference's Config printer (utilities.hpp:46-58).
+        return (
+            "Fast Go-ICP Configurations\n"
+            "\tIO Configuration:\n"
+            f"\t\tTarget: {self.io.target}\n"
+            f"\t\tSource: {self.io.source}\n"
+            "\tParameters:\n"
+            f"\t\tTrim: {'true' if self.params.trim else 'false'}\n"
+            f"\t\tTarget Subsample: {self.params.target_subsample}\n"
+            f"\t\tSource Subsample: {self.params.source_subsample}\n"
+            f"\t\tLUT Resolution: {self.params.lut_resolution}\n"
+            f"\t\tMSE Threshold: {self.params.mse_threshold}"
+        )

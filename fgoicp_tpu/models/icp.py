@@ -1,0 +1,132 @@
+"""Batched Procrustes ICP, fully on-device.
+
+Semantics parity with IterativeClosestPoint3D::run
+(/root/reference/fgoicp/icp3d.cu:80-108): apply the initial (R0, t0), then
+iterate (find correspondences -> Procrustes -> compose -> exact SSE) while
+the relative SSE improvement exceeds the convergence threshold, up to
+max_iter; return the better of the last two iterates.
+
+TPU-native differences: an arbitrary batch of ICP problems (one per
+candidate rotation node) runs in lockstep inside a single lax.while_loop
+with per-problem convergence masks — replacing the reference's one
+sequential ICP per promising BnB node (fgoicp.cpp:76) — and the 3x3 SVD
+stays on-device (ops/procrustes.py) instead of round-tripping to Eigen.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn as nn_ops
+from ..ops import procrustes as proc_ops
+
+BIG = 1e10  # reference M_INF
+
+
+class ICPState(NamedTuple):
+    it: jnp.ndarray        # scalar int32
+    sse: jnp.ndarray       # [G]
+    last_sse: jnp.ndarray  # [G]
+    R: jnp.ndarray         # [G, 3, 3]
+    t: jnp.ndarray         # [G, 3]
+    last_R: jnp.ndarray    # [G, 3, 3]
+    last_t: jnp.ndarray    # [G, 3]
+    cur: jnp.ndarray       # [G, ns, 3] transformed source
+    done: jnp.ndarray      # [G] bool
+
+
+def _masked(pred, new, old):
+    """Select new where pred (per-group), broadcasting over trailing dims."""
+    shape = pred.shape + (1,) * (new.ndim - pred.ndim)
+    return jnp.where(pred.reshape(shape), new, old)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "t_chunk", "q_chunk")
+)
+def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
+                convergence_threshold=0.005, t_chunk=2048, q_chunk=8192):
+    """Run G ICP problems in lockstep.
+
+    pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch).
+    R0: [G, 3, 3], t0: [G, 3] initial transforms.
+    active: [G] bool — inactive lanes are skipped entirely.
+    Returns (sse [G], R [G, 3, 3], t [G, 3]).
+    """
+    pct = jnp.asarray(pct, jnp.float32)
+    pcs = jnp.asarray(pcs, jnp.float32)
+    R0 = jnp.asarray(R0, jnp.float32)
+    t0 = jnp.asarray(t0, jnp.float32)
+    g = R0.shape[0]
+    ns = pcs.shape[0]
+    if active is None:
+        active = jnp.ones((g,), bool)
+
+    cur0 = jnp.einsum("grc,nc->gnr", R0, pcs, precision=jax.lax.Precision.HIGHEST) + t0[:, None, :]
+
+    def nn_query(cur):
+        d2, idx = nn_ops.nearest_neighbor(
+            cur.reshape(g * ns, 3), pct, t_chunk=t_chunk, q_chunk=q_chunk)
+        return d2.reshape(g, ns), idx.reshape(g, ns)
+
+    def body(s: ICPState) -> ICPState:
+        run = ~s.done
+        # Correspondences on the current (pre-update) points (icp3d.cu:146).
+        _, idx = nn_query(s.cur)
+        corr = pct[idx]  # [G, ns, 3]
+        R_, t_ = proc_ops.procrustes(s.cur, corr)
+        new_cur = jnp.einsum("grc,gnc->gnr", R_, s.cur, precision=jax.lax.Precision.HIGHEST) + t_[:, None, :]
+        new_R = jnp.einsum("gab,gbc->gac", R_, s.R, precision=jax.lax.Precision.HIGHEST)
+        new_t = jnp.einsum("gab,gb->ga", R_, s.t, precision=jax.lax.Precision.HIGHEST) + t_
+        d2, _ = nn_query(new_cur)
+        new_sse = jnp.sum(d2, axis=-1)
+
+        sse = _masked(run, new_sse, s.sse)
+        last_sse = _masked(run, s.sse, s.last_sse)
+        R = _masked(run, new_R, s.R)
+        t = _masked(run, new_t, s.t)
+        last_R = _masked(run, s.R, s.last_R)
+        last_t = _masked(run, s.t, s.last_t)
+        cur = _masked(run, new_cur, s.cur)
+        # Reference loop guard: continue while
+        # (last_sse - sse) > threshold * last_sse (icp3d.cu:94).
+        conv = (last_sse - sse) <= convergence_threshold * last_sse
+        done = s.done | (run & conv)
+        return ICPState(s.it + 1, sse, last_sse, R, t, last_R, last_t, cur, done)
+
+    init = ICPState(
+        it=jnp.int32(0),
+        sse=jnp.full((g,), BIG, jnp.float32),
+        last_sse=jnp.full((g,), 2 * BIG, jnp.float32),
+        R=R0, t=t0,
+        last_R=R0, last_t=t0,
+        cur=cur0,
+        done=~active,
+    )
+
+    def cond(s: ICPState):
+        return (s.it < max_iter) & jnp.any(~s.done)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Return the better of the last two iterates (icp3d.cu:106-107).
+    better = final.sse < final.last_sse
+    sse = jnp.where(better, final.sse, final.last_sse)
+    R = _masked(better, final.R, final.last_R)
+    t = _masked(better, final.t, final.last_t)
+    return sse, R, t
+
+
+def icp_register(pct, pcs, R0=None, t0=None, max_iter: int = 100,
+                 convergence_threshold: float = 0.005, **kw):
+    """Single-pair ICP (reference config 1: plain ICP on a cloud pair)."""
+    R0 = jnp.eye(3) if R0 is None else jnp.asarray(R0, jnp.float32)
+    t0 = jnp.zeros(3) if t0 is None else jnp.asarray(t0, jnp.float32)
+    sse, R, t = icp_batched(
+        pct, pcs, R0[None], t0[None], max_iter=max_iter,
+        convergence_threshold=convergence_threshold, **kw)
+    return sse[0], R[0], t[0]
