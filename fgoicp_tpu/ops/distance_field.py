@@ -1,0 +1,230 @@
+"""Dense 3D nearest-neighbor distance field with trilinear lookup.
+
+Capability parity with the reference's NearestNeighborLUT
+(/root/reference/fgoicp/registration.cu:180-328): a voxel grid over the
+(normalized) target bounding box at `resolution`, dims = ceil(range/res)
+per axis, queried by trilinear interpolation with border clamping.
+
+TPU-native redesign (conscious differences, all documented):
+
+* **Stored quantity is the distance d, not d^2.**  The reference stores
+  squared distances and trilinearly interpolates them (tex3D), which
+  overestimates d in cell interiors (d^2 is convex); d itself is
+  1-Lipschitz so its interpolation error is O(res).  Bound math consumes
+  d directly, saving the per-lookup sqrt (registration.cu:48).
+
+* **Builder is a separable min-plus parabolic transform (generalized
+  exact EDT)**, O(cells * dim) per axis, instead of the reference's
+  O(cells * nt) brute force (registration.cu:258-278) — orders of
+  magnitude cheaper at bunny scale (10^9 cells x 10^4 points).  Each
+  target point seeds its nearest grid node with its exact squared
+  distance, then three 1D passes compute
+  D(u) = min_p [ ||u - v(p)||^2 + ||v(p) - p||^2 ],
+  which brackets the true d within [-delta, +sqrt(2)*delta] where
+  delta = (sqrt(3)/2) * res is the point-to-node assignment radius
+  (upper side compounds as sqrt((d+delta)^2 + delta^2) at small d), i.e.
+  |stored - true| <= sqrt(3/2) * res.  That slack is carried in the field and can be
+  folded into BnB bounds for strictly valid pruning (`slack` attr) — a
+  guarantee the reference's LUT does not offer.  A brute-force builder
+  (exact, zero slack) is kept for small grids and for testing.
+
+* **Lookup is 8-corner gather + manual lerp** on a flat HBM array; the
+  reference's half-texel offset (tex3D samples at i+0.5 but queries are
+  mapped without the shift, registration.cu:320-328) is deliberately not
+  reproduced — grid node i sits exactly at origin + i*res here.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn as nn_ops
+from ..utils import logging as log
+
+BIG = 1e10
+
+
+class DistanceField(NamedTuple):
+    """Pytree: dense distance grid + affine query mapping."""
+
+    values: jnp.ndarray   # [X, Y, Z] distances (dtype configurable)
+    origin: jnp.ndarray   # [3] world position of grid node (0,0,0)
+    inv_res: jnp.ndarray  # scalar 1/resolution
+    slack: jnp.ndarray    # scalar: |stored - true| <= slack (world units)
+
+    @property
+    def dims(self):
+        return self.values.shape
+
+
+def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024):
+    """dims = ceil(range / res) + 1 nodes per axis.
+
+    The reference uses ceil(range/res) (registration.cu:186-188), whose
+    last node falls short of the bounding-box max corner so boundary
+    queries clamp; the +1 here makes coverage inclusive.  Size-limit
+    semantics match the reference (:191-198): hard error beyond max_dim,
+    warn beyond warn_dim.
+    """
+    bounds = np.asarray(bounds, np.float64)
+    dims = tuple(int(math.ceil((bounds[a, 1] - bounds[a, 0]) / resolution)) + 1
+                 for a in range(3))
+    dims = tuple(max(d, 2) for d in dims)
+    if any(d >= max_dim for d in dims):
+        raise ValueError(
+            f"Distance-field dims {dims} exceed the limit {max_dim}; "
+            f"increase lut_resolution")
+    if any(d >= warn_dim for d in dims):
+        log.warning(f"Distance-field dims {dims} are large; consider a "
+                    "coarser lut_resolution")
+    return dims
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "cell_chunk"))
+def _build_brute(points, origin, resolution, dims, cell_chunk=32768):
+    """Exact min distance from every grid node to the cloud (streamed)."""
+    x, y, z = dims
+    n_cells = x * y * z
+    pad = (-n_cells) % cell_chunk
+    lin = jnp.arange(n_cells + pad, dtype=jnp.int32)
+    iz = lin % z
+    iy = (lin // z) % y
+    ix = lin // (z * y)
+    coords = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+    pos = origin[None, :] + coords * resolution
+    d2 = nn_ops.nearest_sqdist(pos, points, q_chunk=cell_chunk)
+    d = jnp.sqrt(jnp.maximum(d2[:n_cells], 0.0))
+    return d.reshape(dims)
+
+
+def _minplus_1d(g, resolution, out_chunk=128, line_chunk=4096):
+    """Exact 1D parabolic min-plus transform along the last axis.
+
+    g: [L, n] squared distances; returns out[l, i] = min_j g[l, j] +
+    ((i - j) * resolution)^2.  O(L * n^2) elementwise mins on the VPU,
+    tiled to bound memory.
+    """
+    l, n = g.shape
+    j_idx = jnp.arange(n, dtype=jnp.float32)
+
+    def per_outchunk(i0, acc):
+        i_idx = i0 + jnp.arange(out_chunk, dtype=jnp.float32)
+        cost = ((i_idx[None, :] - j_idx[:, None]) * resolution) ** 2  # [n, oc]
+        # [L, n, 1] + [1, n, oc] -> min over j
+        vals = jnp.min(g[:, :, None] + cost[None, :, :], axis=1)  # [L, oc]
+        return jax.lax.dynamic_update_slice(acc, vals, (0, i0))
+
+    n_pad = (-n) % out_chunk
+    out = jnp.zeros((l, n + n_pad), g.dtype)
+    out = jax.lax.fori_loop(
+        0, (n + n_pad) // out_chunk,
+        lambda k, acc: per_outchunk(k * out_chunk, acc), out)
+    return out[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "out_chunk"))
+def _build_edt(points, origin, resolution, dims, out_chunk=128):
+    """Generalized exact EDT from point-seeded grid nodes (see module doc)."""
+    x, y, z = dims
+    # Seed: each point updates its nearest grid node with its exact squared
+    # distance to that node (scatter-min).
+    rel = (points - origin[None, :]) / resolution
+    idx = jnp.clip(jnp.round(rel).astype(jnp.int32),
+                   jnp.zeros(3, jnp.int32),
+                   jnp.asarray([x - 1, y - 1, z - 1], jnp.int32))
+    node = origin[None, :] + idx.astype(jnp.float32) * resolution
+    d2 = jnp.sum((points - node) ** 2, axis=-1)
+    f = jnp.full((x, y, z), BIG, jnp.float32)
+    f = f.at[idx[:, 0], idx[:, 1], idx[:, 2]].min(d2)
+
+    # Separable min-plus passes: last axis, then cyclic transposes.
+    f = _minplus_1d(f.reshape(x * y, z), resolution, out_chunk).reshape(x, y, z)
+    f = jnp.transpose(f, (2, 0, 1))  # [Z, X, Y]
+    f = _minplus_1d(f.reshape(z * x, y), resolution, out_chunk).reshape(z, x, y)
+    f = jnp.transpose(f, (2, 0, 1))  # [Y, Z, X]
+    f = _minplus_1d(f.reshape(y * z, x), resolution, out_chunk).reshape(y, z, x)
+    f = jnp.transpose(f, (2, 0, 1))  # [X, Y, Z]
+    return jnp.sqrt(jnp.maximum(f, 0.0))
+
+
+def build(points, bounds, resolution, builder: str = "auto",
+          dtype=jnp.float32, max_dim: int = 2048, warn_dim: int = 1024,
+          brute_budget: float = 2.0e11) -> DistanceField:
+    """Construct the distance field over `bounds` ([3, 2] min/max).
+
+    builder: 'brute' (exact, zero slack), 'edt' (fast, slack =
+    sqrt(3/2) * res), or 'auto' (brute iff cells * n_points fits the
+    budget).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    bounds = np.asarray(bounds, np.float64)
+    dims = grid_dims(bounds, resolution, max_dim=max_dim, warn_dim=warn_dim)
+    origin = jnp.asarray(bounds[:, 0], jnp.float32)
+    n_cells = int(np.prod(dims))
+    if builder == "auto":
+        builder = "brute" if n_cells * points.shape[0] <= brute_budget else "edt"
+    log.debug(f"Building distance field dims={dims} builder={builder}")
+    if builder == "brute":
+        vals = _build_brute(points, origin, jnp.float32(resolution), dims)
+        slack = 0.0
+    elif builder == "edt":
+        vals = _build_edt(points, origin, jnp.float32(resolution), dims)
+        slack = math.sqrt(1.5) * resolution
+    else:
+        raise ValueError(f"Unknown distance-field builder: {builder}")
+    return DistanceField(
+        values=vals.astype(dtype),
+        origin=origin,
+        inv_res=jnp.float32(1.0 / resolution),
+        slack=jnp.float32(slack),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookup
+# ---------------------------------------------------------------------------
+
+
+def lookup(field: DistanceField, queries):
+    """Trilinear distance lookup for queries [..., 3] (world coordinates).
+
+    Out-of-box queries clamp to the border, reproducing the reference's
+    cudaAddressModeClamp behavior (registration.cu:226-228).
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    x, y, z = field.values.shape
+    c = (q - field.origin) * field.inv_res
+    maxc = jnp.asarray([x - 1, y - 1, z - 1], jnp.float32)
+    c = jnp.clip(c, 0.0, maxc)
+    i0 = jnp.minimum(c.astype(jnp.int32),
+                     jnp.asarray([x - 2, y - 2, z - 2], jnp.int32))
+    i0 = jnp.maximum(i0, 0)
+    frac = c - i0.astype(jnp.float32)
+
+    flat = field.values.reshape(-1)
+    ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    def fetch(dx, dy, dz):
+        lin = ((ix + dx) * y + (iy + dy)) * z + (iz + dz)
+        return jnp.take(flat, lin, mode="clip").astype(jnp.float32)
+
+    # Trilinear: lerp over z, then y, then x.
+    c00 = fetch(0, 0, 0) * (1 - fz) + fetch(0, 0, 1) * fz
+    c01 = fetch(0, 1, 0) * (1 - fz) + fetch(0, 1, 1) * fz
+    c10 = fetch(1, 0, 0) * (1 - fz) + fetch(1, 0, 1) * fz
+    c11 = fetch(1, 1, 0) * (1 - fz) + fetch(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
