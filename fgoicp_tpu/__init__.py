@@ -7,3 +7,21 @@ TPU-first (device frontiers, batched bound kernels, mesh sharding).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the engine's jitted programs (batched ICP,
+# lockstep inner BnB) are large; caching makes repeat runs start in seconds
+# instead of minutes.  Opt out with FGOICP_TPU_NO_CACHE=1.
+if not _os.environ.get("FGOICP_TPU_NO_CACHE"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "fgoicp_tpu_jax"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -46,15 +46,20 @@ def _masked(pred, new, old):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "t_chunk", "q_chunk")
+    jax.jit, static_argnames=("max_iter", "t_chunk", "q_chunk", "trim_keep",
+                              "rank_precision")
 )
 def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
-                convergence_threshold=0.005, t_chunk=2048, q_chunk=8192):
+                convergence_threshold=0.005, t_chunk=2048, q_chunk=8192,
+                trim_keep=None, rank_precision="highest"):
     """Run G ICP problems in lockstep.
 
     pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch).
     R0: [G, 3, 3], t0: [G, 3] initial transforms.
     active: [G] bool — inactive lanes are skipped entirely.
+    trim_keep: keep only the K best correspondences per iteration and sum
+    only the K smallest residuals (trimmed ICP — an extension the reference
+    parses but never implements, SURVEY §2 row 2).
     Returns (sse [G], R [G, 3, 3], t [G, 3]).
     """
     pct = jnp.asarray(pct, jnp.float32)
@@ -70,20 +75,32 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
 
     def nn_query(cur):
         d2, idx = nn_ops.nearest_neighbor(
-            cur.reshape(g * ns, 3), pct, t_chunk=t_chunk, q_chunk=q_chunk)
+            cur.reshape(g * ns, 3), pct, t_chunk=t_chunk, q_chunk=q_chunk,
+            rank_precision=rank_precision)
         return d2.reshape(g, ns), idx.reshape(g, ns)
+
+    def trimmed_sum(d2):
+        if trim_keep is None or trim_keep >= ns:
+            return jnp.sum(d2, axis=-1)
+        return -jnp.sum(jax.lax.top_k(-d2, trim_keep)[0], axis=-1)
+
+    def trim_mask(d2):
+        if trim_keep is None or trim_keep >= ns:
+            return None
+        thr = -jax.lax.top_k(-d2, trim_keep)[0][..., -1]
+        return (d2 <= thr[..., None]).astype(jnp.float32)
 
     def body(s: ICPState) -> ICPState:
         run = ~s.done
         # Correspondences on the current (pre-update) points (icp3d.cu:146).
-        _, idx = nn_query(s.cur)
+        d2c, idx = nn_query(s.cur)
         corr = pct[idx]  # [G, ns, 3]
-        R_, t_ = proc_ops.procrustes(s.cur, corr)
+        R_, t_ = proc_ops.procrustes(s.cur, corr, mask=trim_mask(d2c))
         new_cur = jnp.einsum("grc,gnc->gnr", R_, s.cur, precision=jax.lax.Precision.HIGHEST) + t_[:, None, :]
         new_R = jnp.einsum("gab,gbc->gac", R_, s.R, precision=jax.lax.Precision.HIGHEST)
         new_t = jnp.einsum("gab,gb->ga", R_, s.t, precision=jax.lax.Precision.HIGHEST) + t_
         d2, _ = nn_query(new_cur)
-        new_sse = jnp.sum(d2, axis=-1)
+        new_sse = trimmed_sum(d2)
 
         sse = _masked(run, new_sse, s.sse)
         last_sse = _masked(run, s.sse, s.last_sse)

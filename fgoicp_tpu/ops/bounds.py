@@ -1,0 +1,163 @@
+"""Batched SE(3) bound evaluation — the hot kernel of Go-ICP.
+
+Parity target: kernComputeBounds (/root/reference/fgoicp/registration.cu:
+27-60) + the batched driver compute_sse_error(rnode, tnodes[], fix_rot,
+streams) (:88-152).  Per (rotation node g, translation node b, source point
+i) with q = R_g p_i + t_b and d an estimate of the distance from q to the
+target:
+
+    gamma_r[g,i] = rotation uncertainty radius (0 when rotation is fixed)
+    gamma_t[g,b] = sqrt(3) * translation half-span
+    ub[g,b] = sum_i relu(d_ub - gamma_r)^2
+    lb[g,b] = sum_i relu(d_lb - gamma_r - gamma_t)^2
+
+TPU-native redesign: where the reference launches one CUDA kernel per
+translation node on 32 streams and thrust-reduces each, here ALL
+(G rotation nodes x B translation nodes x ns points) evaluate in a single
+fused XLA computation.  Distance estimates come from a pluggable backend:
+
+* `proxy`  (default): exact NN against a farthest-point coreset via
+  matmul + min-reduce (ops/coreset.py) — no gathers, ~250M queries/s on
+  v5e 1 chip.  d_ub = d_S(q) >= d_T(q); d_lb = d_S(q) - eps_cover -
+  eps_rank, both strictly valid.
+* `lut`: trilinear distance-field lookup (ops/distance_field.py) —
+  the reference's approach; gather-bound on TPU.  With
+  `conservative=True` the field+interpolation slack is folded in so
+  bounds stay valid; with False it reproduces the reference's raw-lookup
+  behavior (registration.cu:46).
+* `exact`: proxy backend with the full target (eps = 0) — bounds tighter
+  than any LUT, cost O(ns * nt) per node batch.
+
+Trimming: with trim_keep = K < ns, per-node sums keep only the K smallest
+per-point terms — valid bounds for the trimmed registration error (the
+reference parses `trim` but never implements it; SURVEY §2 row 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import coreset as coreset_ops
+from . import distance_field as df_ops
+from . import geometry as geo
+from . import nn as nn_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProxyBackend:
+    coreset: coreset_ops.ProxyCoreset
+    rank_precision: str = dataclasses.field(
+        default="highest", metadata={"static": True})
+    eps_rank: float = dataclasses.field(default=0.0, metadata={"static": True})
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LutBackend:
+    field: df_ops.DistanceField
+    conservative: bool = dataclasses.field(
+        default=False, metadata={"static": True})
+
+    @property
+    def total_slack(self):
+        # field slack (builder error) + trilinear interpolation bound for a
+        # 1-Lipschitz function over a cell diagonal.
+        return self.field.slack + geo.SQRT3 / self.field.inv_res
+
+
+Backend = Union[ProxyBackend, LutBackend]
+
+
+def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
+                 rank_precision: str = "highest",
+                 field: Optional[df_ops.DistanceField] = None,
+                 conservative: bool = False, seed: int = 0) -> Backend:
+    """Build a distance backend over the (normalized) target cloud."""
+    if kind == "proxy":
+        cs = coreset_ops.build(target, size=proxy_size, seed=seed)
+        eps_rank = {"highest": 0.0, "high": 1e-3, "default": 2e-2}[rank_precision]
+        return ProxyBackend(coreset=cs, rank_precision=rank_precision,
+                            eps_rank=eps_rank)
+    if kind == "exact":
+        cs = coreset_ops.ProxyCoreset(
+            points=jnp.asarray(target, jnp.float32), eps=jnp.float32(0.0))
+        return ProxyBackend(coreset=cs, rank_precision=rank_precision,
+                            eps_rank=0.0)
+    if kind == "lut":
+        assert field is not None, "lut backend requires a built DistanceField"
+        return LutBackend(field=field, conservative=conservative)
+    raise ValueError(f"Unknown bound backend: {kind}")
+
+
+def distance_estimates(backend: Backend, queries):
+    """(d_ub, d_lb) per query: d_lb <= d_target(q) <= d_ub."""
+    if isinstance(backend, ProxyBackend):
+        shape = queries.shape[:-1]
+        d2 = nn_ops.nearest_sqdist(
+            queries.reshape(-1, 3), backend.coreset.points,
+            rank_precision=backend.rank_precision)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(shape)
+        slack = backend.coreset.eps + backend.eps_rank
+        return d, d - slack
+    if isinstance(backend, LutBackend):
+        d = df_ops.lookup(backend.field, queries)
+        if backend.conservative:
+            s = backend.total_slack
+            return d + s, d - s
+        return d, d
+    raise TypeError(f"Unknown backend type: {type(backend)}")
+
+
+def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
+                    t_spans, node_mask=None, ref_compat_gamma: bool = False,
+                    trim_keep: Optional[int] = None):
+    """Evaluate lb/ub for a [G, B] grid of (rotation, translation) nodes.
+
+    pcs:       [ns, 3] normalized source points.
+    R:         [G, 3, 3] rotation of each group.
+    rot_spans: [G] rotation cube half-spans (gamma_r inputs).
+    fix_rot:   [G] bool — True lanes evaluate with gamma_r = 0 (the
+               reference's fix_rot=true upper-bound pass).
+    t_centers: [G, B, 3]; t_spans: [G, B] translation nodes per group.
+    node_mask: [G, B] bool — False lanes return (inf, inf).
+    Returns (lb [G, B], ub [G, B]).
+    """
+    pcs = jnp.asarray(pcs, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    norms = jnp.linalg.norm(pcs, axis=-1)  # [ns]
+
+    # gamma_r per (group, point); 0 where rotation is fixed
+    # (registration.cu:36-44 + SURVEY quirk list for the ref-compat form).
+    gam_r = geo.rotation_uncertainty_radius(
+        norms[None, :], jnp.asarray(rot_spans)[:, None],
+        ref_compat=ref_compat_gamma)                      # [G, ns]
+    gam_r = jnp.where(jnp.asarray(fix_rot)[:, None], 0.0, gam_r)
+    gam_t = geo.translation_uncertainty_radius(jnp.asarray(t_spans))  # [G, B]
+
+    base = jnp.einsum("grc,nc->gnr", R, pcs,
+                      precision=jax.lax.Precision.HIGHEST)  # [G, ns, 3]
+    q = base[:, None, :, :] + jnp.asarray(t_centers, jnp.float32)[:, :, None, :]
+    d_ub, d_lb = distance_estimates(backend, q)             # [G, B, ns]
+
+    ub_pt = jnp.square(jnp.maximum(d_ub - gam_r[:, None, :], 0.0))
+    lb_pt = jnp.square(jnp.maximum(
+        d_lb - gam_r[:, None, :] - gam_t[:, :, None], 0.0))
+
+    if trim_keep is not None:
+        ns = pcs.shape[0]
+        if trim_keep < ns:
+            ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
+            lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
+
+    ub = jnp.sum(ub_pt, axis=-1)
+    lb = jnp.sum(lb_pt, axis=-1)
+    if node_mask is not None:
+        big = jnp.float32(nn_ops.BIG)
+        ub = jnp.where(node_mask, ub, big)
+        lb = jnp.where(node_mask, lb, big)
+    return lb, ub

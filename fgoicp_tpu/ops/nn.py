@@ -35,7 +35,7 @@ def _pad_target(pct, t_chunk):
     return pct, nt
 
 
-def _chunked_min(queries, pct, t_chunk, want_idx):
+def _chunked_min(queries, pct, t_chunk, want_idx, rank_precision="highest"):
     """Core streaming reduction over target chunks.
 
     queries: [M, 3]; pct: [NT_padded, 3] (padded with sentinels).
@@ -50,9 +50,11 @@ def _chunked_min(queries, pct, t_chunk, want_idx):
         best_d2, best_idx, chunk_i = carry
         p = chunk  # [T, 3]
         p_sq = jnp.sum(p * p, axis=-1)  # [T]
-        # HIGHEST precision: TPU default matmul precision is bfloat16, whose
-        # ~3e-3 absolute error in d2 would swamp converged NN distances.
-        cross = jnp.dot(queries, p.T, precision=jax.lax.Precision.HIGHEST,
+        # Ranking precision: TPU default matmul precision is bfloat16
+        # (~3e-3 absolute error in d2); 'highest' costs ~4x but makes the
+        # argmin ranking near-exact.  The winner is rescored exactly below
+        # regardless, so lower precisions only risk small argmin flips.
+        cross = jnp.dot(queries, p.T, precision=rank_precision,
                         preferred_element_type=jnp.float32)  # [M, T]
         d2 = q_sq[:, None] + p_sq[None, :] - 2.0 * cross
         local_min = jnp.min(d2, axis=-1)
@@ -87,21 +89,25 @@ def _q_chunked(fn, queries, q_chunk):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk"))
-def nearest_sqdist(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK):
+@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk", "rank_precision"))
+def nearest_sqdist(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK,
+                   rank_precision="highest"):
     """Min squared distance from each query [M, 3] to the target cloud."""
     queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
     pct_p, _ = _pad_target(jnp.asarray(pct, jnp.float32), t_chunk)
-    fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=False)
+    fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=False,
+                                rank_precision=rank_precision)
     return _q_chunked(fn, queries, q_chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk"))
-def nearest_neighbor(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK):
+@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk", "rank_precision"))
+def nearest_neighbor(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK,
+                     rank_precision="highest"):
     """(min squared distance, argmin index) per query."""
     queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
     pct_p, _ = _pad_target(jnp.asarray(pct, jnp.float32), t_chunk)
-    fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=True)
+    fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=True,
+                                rank_precision=rank_precision)
     return _q_chunked(fn, queries, q_chunk)
 
 
