@@ -47,6 +47,8 @@ from ..ops import distance_field as df_ops
 from ..ops import frontier as frontier_ops
 from ..ops import geometry as geo
 from ..ops import nn as nn_ops
+from ..parallel import bnb as pbnb
+from ..parallel import sharding as psh
 from ..utils import logging as log
 from . import icp as icp_model
 
@@ -82,7 +84,7 @@ class GoICP:
                  mse_threshold: float = 1e-3,
                  engine: Optional[EngineConfig] = None,
                  bound_backend: str = "proxy", proxy_size: int = 4096,
-                 trim_fraction: float = 0.0):
+                 trim_fraction: float = 0.0, mesh=None):
         self.engine = engine or EngineConfig()
         e = self.engine
         pct = np.asarray(pct, np.float32)
@@ -107,6 +109,13 @@ class GoICP:
             self.backend = bounds_ops.make_backend(
                 self.pct, kind=bound_backend, proxy_size=proxy_size,
                 seed=e.seed)
+
+        # Multi-device mesh: rotation groups shard over `cubes`, source
+        # points over `points` (parallel/sharding.py).  mesh=None keeps the
+        # single-device fast path.
+        self.mesh = mesh
+        if self.mesh is None and e.mesh_cubes * e.mesh_points > 1:
+            self.mesh = psh.make_mesh(e.mesh_cubes, e.mesh_points)
 
         # Incumbent (runtime state, fgoicp.hpp:61-64).
         self.best_sse = BIG
@@ -133,10 +142,16 @@ class GoICP:
     # ------------------------------------------------------------------
     def _icp(self, R0, t0, active, convergence):
         """Batched ICP against the full target with exact SSE."""
-        sse, R, t = icp_model.icp_batched(
-            self.pct, self.pcs, R0, t0, active=active,
-            max_iter=self.engine.icp_max_iter,
-            convergence_threshold=convergence, trim_keep=self.trim_keep)
+        if self.mesh is not None:
+            sse, R, t = pbnb.icp_sharded(
+                self.pct, self.pcs, R0, t0, mesh=self.mesh, active=active,
+                max_iter=self.engine.icp_max_iter,
+                convergence_threshold=convergence, trim_keep=self.trim_keep)
+        else:
+            sse, R, t = icp_model.icp_batched(
+                self.pct, self.pcs, R0, t0, active=active,
+                max_iter=self.engine.icp_max_iter,
+                convergence_threshold=convergence, trim_keep=self.trim_keep)
         return np.asarray(sse), np.asarray(R), np.asarray(t)
 
     def _initial_icp(self):
@@ -212,12 +227,21 @@ class GoICP:
         fix2 = jnp.concatenate([jnp.ones((g,), bool), jnp.zeros((g,), bool)])
         act2 = jnp.concatenate([active, active])
 
-        st = frontier_ops.bnb_r3_batched(
-            self.backend, self.pcs, R2, spans2, fix2,
-            jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
-            group_active=act2, min_span=e.translation_min_span,
-            batch=e.translation_batch, capacity=e.frontier_capacity,
-            ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+        if self.mesh is not None:
+            st = pbnb.bnb_r3_sharded(
+                self.backend, self.pcs, R2, spans2, fix2,
+                jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
+                mesh=self.mesh, group_active=act2,
+                min_span=e.translation_min_span, batch=e.translation_batch,
+                capacity=e.frontier_capacity,
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+        else:
+            st = frontier_ops.bnb_r3_batched(
+                self.backend, self.pcs, R2, spans2, fix2,
+                jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
+                group_active=act2, min_span=e.translation_min_span,
+                batch=e.translation_batch, capacity=e.frontier_capacity,
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
 
         ub = np.asarray(st.best_ub[:g])[:n]
         best_t = np.asarray(st.best_t[:g])[:n]

@@ -115,7 +115,9 @@ def distance_estimates(backend: Backend, queries):
 
 def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                     t_spans, node_mask=None, ref_compat_gamma: bool = False,
-                    trim_keep: Optional[int] = None):
+                    trim_keep: Optional[int] = None,
+                    points_axis: Optional[str] = None,
+                    point_weights=None):
     """Evaluate lb/ub for a [G, B] grid of (rotation, translation) nodes.
 
     pcs:       [ns, 3] normalized source points.
@@ -125,8 +127,19 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                reference's fix_rot=true upper-bound pass).
     t_centers: [G, B, 3]; t_spans: [G, B] translation nodes per group.
     node_mask: [G, B] bool — False lanes return (inf, inf).
+    points_axis: mesh axis name when `pcs` holds only this device's shard
+               of the source points — per-point partial sums are psum'd
+               over that axis (sequence-parallel bound evaluation,
+               SURVEY §5).  Incompatible with trim_keep (a trimmed sum
+               needs a global top-k).
+    point_weights: [ns] per-point weights multiplying both bound terms
+               (0 marks padding lanes added to make ns divisible by the
+               points-axis size).  Incompatible with trim_keep.
     Returns (lb [G, B], ub [G, B]).
     """
+    if trim_keep is not None and (points_axis is not None
+                                  or point_weights is not None):
+        raise ValueError("trim_keep is not supported with point sharding")
     pcs = jnp.asarray(pcs, jnp.float32)
     R = jnp.asarray(R, jnp.float32)
     norms = jnp.linalg.norm(pcs, axis=-1)  # [ns]
@@ -147,6 +160,10 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
     ub_pt = jnp.square(jnp.maximum(d_ub - gam_r[:, None, :], 0.0))
     lb_pt = jnp.square(jnp.maximum(
         d_lb - gam_r[:, None, :] - gam_t[:, :, None], 0.0))
+    if point_weights is not None:
+        w = jnp.asarray(point_weights, jnp.float32)[None, None, :]
+        ub_pt = ub_pt * w
+        lb_pt = lb_pt * w
 
     if trim_keep is not None:
         ns = pcs.shape[0]
@@ -156,6 +173,9 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
 
     ub = jnp.sum(ub_pt, axis=-1)
     lb = jnp.sum(lb_pt, axis=-1)
+    if points_axis is not None:
+        ub = jax.lax.psum(ub, points_axis)
+        lb = jax.lax.psum(lb, points_axis)
     if node_mask is not None:
         big = jnp.float32(nn_ops.BIG)
         ub = jnp.where(node_mask, ub, big)

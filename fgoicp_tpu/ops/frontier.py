@@ -68,18 +68,26 @@ def _sort_frontier(centers, spans, lbs, capacity):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "batch", "capacity", "max_steps", "ref_compat_gamma", "trim_keep"))
+    "batch", "capacity", "max_steps", "ref_compat_gamma", "trim_keep",
+    "points_axis", "lockstep_axes"))
 def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
                    sse_threshold, group_active=None, min_span=0.1,
                    batch: int = 32, capacity: int = 4096,
                    max_steps: int = 100000, ref_compat_gamma: bool = False,
-                   trim_keep=None):
+                   trim_keep=None, points_axis=None, lockstep_axes=(),
+                   point_weights=None):
     """Run G translation BnB searches in lockstep.
 
     backend: bounds backend (proxy/lut/exact); pcs: [ns, 3] source.
     R: [G, 3, 3]; rot_spans: [G]; fix_rot: [G] bool (True = gamma_r off).
     best_sse: scalar global incumbent; sse_threshold: convergence gap.
     Returns an R3State with final incumbents and counters.
+
+    Sharding (used via parallel.bnb inside shard_map): `points_axis` names
+    the mesh axis holding shards of `pcs` (bound sums psum over it);
+    `lockstep_axes` names every mesh axis sharding the G (group) dimension
+    — loop termination becomes a global vote so all shards iterate in
+    lockstep with their collective partners.
     """
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
@@ -104,7 +112,12 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
     b = batch
 
     def cond(s: R3State):
-        return jnp.any(s.active) & (s.steps < max_steps)
+        alive = jnp.sum(s.active.astype(jnp.int32))
+        axes = tuple(lockstep_axes) + (
+            (points_axis,) if points_axis is not None else ())
+        if axes:
+            alive = jax.lax.psum(alive, axes)
+        return (alive > 0) & (s.steps < max_steps)
 
     def body(s: R3State) -> R3State:
         # Discard dominated nodes (ref pops-and-drops them, fgoicp.cpp:127).
@@ -123,7 +136,8 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
         lb_e, ub_e = bounds_ops.evaluate_bounds(
             backend, pcs, R, rot_spans, fix_rot, cand_c, cand_s,
             node_mask=lane_valid, ref_compat_gamma=ref_compat_gamma,
-            trim_keep=trim_keep)
+            trim_keep=trim_keep, points_axis=points_axis,
+            point_weights=point_weights)
 
         # Incumbent update from the batch min ub (fgoicp.cpp:139-145).
         batch_min = jnp.min(ub_e, axis=-1)

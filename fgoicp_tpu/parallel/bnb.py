@@ -1,0 +1,154 @@
+"""Mesh-sharded inner R^3 BnB and batched ICP.
+
+The reference's only parallel resource is one GPU's SIMT lanes plus 32
+CUDA streams (/root/reference/fgoicp/common.hpp:138-164,
+registration.cu:106-141).  Here the same work scales across a TPU mesh:
+
+* rotation groups (independent inner searches / ICP lanes) shard over the
+  ``cubes`` axis — node parallelism, no communication except the lockstep
+  loop-termination vote (a psum of live-group counts each frontier step);
+* source points shard over the ``points`` axis — each device evaluates
+  bound contributions for its point shard and the per-node sums are
+  reduced with ``psum`` over ICI (sequence-parallel style).
+
+Padding keeps shapes divisible: group lanes are padded inactive, point
+shards are padded with zero-weight sentinel points so sums are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import icp as icp_model
+from ..ops import frontier as frontier_ops
+from . import sharding as sh
+
+
+def _pad_groups(tree_arrays, g, gp):
+    """Zero-pad the leading (group) axis from g to gp."""
+    def pad(a):
+        if a.shape[0] == gp:
+            return a
+        width = [(0, gp - g)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width)
+    return [pad(jnp.asarray(a)) for a in tree_arrays]
+
+
+def _pad_points(pcs, n_points):
+    """Pad source points to a multiple of the points-axis size.
+
+    Returns (padded points, weights) where padding lanes carry weight 0 so
+    bound sums are unchanged.
+    """
+    pcs = jnp.asarray(pcs, jnp.float32)
+    ns = pcs.shape[0]
+    nsp = sh.pad_to_multiple(ns, n_points)
+    w = jnp.ones((ns,), jnp.float32)
+    if nsp != ns:
+        pcs = jnp.pad(pcs, [(0, nsp - ns), (0, 0)])
+        w = jnp.pad(w, [(0, nsp - ns)])
+    return pcs, w
+
+
+def bnb_r3_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
+                   sse_threshold, mesh: Mesh, group_active=None,
+                   min_span=0.1, batch: int = 32, capacity: int = 4096,
+                   max_steps: int = 100000, ref_compat_gamma: bool = False,
+                   trim_keep: Optional[int] = None):
+    """bnb_r3_batched over a (cubes, points) mesh; same return contract.
+
+    The backend (proxy coreset / distance field) is replicated — it is
+    read-only and shared by every lane; `pcs` is sharded over the points
+    axis; all per-group arrays shard over the cubes axis.
+    """
+    n_cubes = mesh.shape[sh.CUBES_AXIS]
+    n_points = mesh.shape[sh.POINTS_AXIS]
+    if trim_keep is not None and n_points > 1:
+        raise ValueError(
+            "trimmed bounds need a global top-k; use mesh_points=1 with trim")
+    R = jnp.asarray(R, jnp.float32)
+    g = R.shape[0]
+    if group_active is None:
+        group_active = jnp.ones((g,), bool)
+    gp = sh.pad_to_multiple(g, n_cubes)
+    R_p, spans_p, fix_p, act_p = _pad_groups(
+        [R, jnp.asarray(rot_spans, jnp.float32), jnp.asarray(fix_rot, bool),
+         jnp.asarray(group_active, bool)], g, gp)
+    act_p = act_p & (jnp.arange(gp) < g)
+    pcs_p, w_p = _pad_points(pcs, n_points)
+
+    points_axis = sh.POINTS_AXIS if n_points > 1 else None
+    lockstep = (sh.CUBES_AXIS,) if n_cubes > 1 else ()
+
+    def local(backend_, pcs_, w_, R_, spans_, fix_, act_, best_sse_, thr_):
+        st = frontier_ops.bnb_r3_batched(
+            backend_, pcs_, R_, spans_, fix_, best_sse_, thr_,
+            group_active=act_, min_span=min_span, batch=batch,
+            capacity=capacity, max_steps=max_steps,
+            ref_compat_gamma=ref_compat_gamma, trim_keep=trim_keep,
+            points_axis=points_axis, lockstep_axes=lockstep,
+            point_weights=(None if n_points == 1 else w_))
+        return st
+
+    gspec = P(sh.CUBES_AXIS)
+    out_specs = frontier_ops.R3State(
+        centers=gspec, spans=gspec, lbs=gspec, best_err=gspec,
+        best_ub=gspec, best_t=gspec, active=gspec, steps=P(),
+        evaluated=gspec, dropped=gspec)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(sh.POINTS_AXIS), P(sh.POINTS_AXIS),
+                  gspec, gspec, gspec, gspec, P(), P()),
+        out_specs=out_specs, check_vma=False)
+    st = fn(backend, pcs_p, w_p, R_p, spans_p, fix_p, act_p,
+            jnp.float32(best_sse), jnp.float32(sse_threshold))
+    trim = lambda a: a[:g]
+    return frontier_ops.R3State(
+        centers=trim(st.centers), spans=trim(st.spans), lbs=trim(st.lbs),
+        best_err=trim(st.best_err), best_ub=trim(st.best_ub),
+        best_t=trim(st.best_t), active=trim(st.active), steps=st.steps,
+        evaluated=trim(st.evaluated), dropped=trim(st.dropped))
+
+
+def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,
+                max_iter: int = 100, convergence_threshold=0.005,
+                trim_keep=None, **kw):
+    """icp_batched with ICP lanes sharded over the cubes axis.
+
+    Both clouds are replicated (each lane needs full correspondences);
+    lanes are embarrassingly parallel so shards converge independently.
+    """
+    n_cubes = mesh.shape[sh.CUBES_AXIS]
+    R0 = jnp.asarray(R0, jnp.float32)
+    g = R0.shape[0]
+    if active is None:
+        active = jnp.ones((g,), bool)
+    gp = sh.pad_to_multiple(g, n_cubes)
+    R_p, t_p, act_p = _pad_groups(
+        [R0, jnp.asarray(t0, jnp.float32), jnp.asarray(active, bool)], g, gp)
+    # Padded lanes get identity rotations so the math stays well-posed.
+    if gp != g:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (gp - g, 3, 3))
+        R_p = R_p.at[g:].set(eye)
+    act_p = act_p & (jnp.arange(gp) < g)
+
+    def local(pct_, pcs_, R_, t_, act_):
+        return icp_model.icp_batched(
+            pct_, pcs_, R_, t_, active=act_, max_iter=max_iter,
+            convergence_threshold=convergence_threshold,
+            trim_keep=trim_keep, **kw)
+
+    gspec = P(sh.CUBES_AXIS)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), gspec, gspec, gspec),
+        out_specs=(gspec, gspec, gspec), check_vma=False)
+    sse, R, t = fn(jnp.asarray(pct, jnp.float32),
+                   jnp.asarray(pcs, jnp.float32), R_p, t_p, act_p)
+    return sse[:g], R[:g], t[:g]

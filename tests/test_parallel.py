@@ -1,0 +1,87 @@
+"""Sharded (cubes x points) paths must match the single-device engine."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgoicp_tpu.models import icp as icp_model
+from fgoicp_tpu.ops import bounds as bounds_ops
+from fgoicp_tpu.ops import frontier as frontier_ops
+from fgoicp_tpu.ops import geometry as geo
+from fgoicp_tpu.parallel import bnb as pbnb
+from fgoicp_tpu.parallel import sharding as psh
+
+
+def _problem(seed=0, nt=131, ns=67, g=9):
+    rng = np.random.default_rng(seed)
+    pct = jnp.asarray(rng.uniform(-0.8, 0.8, size=(nt, 3)), jnp.float32)
+    pcs = jnp.asarray(rng.uniform(-0.6, 0.6, size=(ns, 3)), jnp.float32)
+    backend = bounds_ops.make_backend(pct, kind="exact")
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, size=(g, 3)), jnp.float32)
+    R = geo.quat_cube_to_matrix(xyz)
+    spans = jnp.full((g,), 0.25, jnp.float32)
+    fix = jnp.asarray(rng.integers(0, 2, size=(g,)).astype(bool))
+    return backend, pct, pcs, R, spans, fix
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_bnb_r3_sharded_matches_single_device(mesh_shape):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    backend, _, pcs, R, spans, fix = _problem()
+    mesh = psh.make_mesh(*mesh_shape)
+    kw = dict(batch=4, capacity=128, max_steps=50)
+    ref = frontier_ops.bnb_r3_batched(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4), **kw)
+    st = pbnb.bnb_r3_sharded(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(st.best_ub), np.asarray(ref.best_ub),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.best_t), np.asarray(ref.best_t),
+                               rtol=2e-4, atol=1e-6)
+    # Same number of evaluated nodes per group (identical search shape).
+    np.testing.assert_array_equal(np.asarray(st.evaluated),
+                                  np.asarray(ref.evaluated))
+
+
+def test_icp_sharded_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(3)
+    pct = jnp.asarray(rng.uniform(-1, 1, size=(200, 3)), jnp.float32)
+    # Source = rotated subset of the target: ICP should recover it.
+    xyz = jnp.asarray([[0.05, -0.02, 0.04]], jnp.float32)
+    R_true = geo.quat_cube_to_matrix(xyz)[0]
+    pcs = (pct[:120] - jnp.asarray([0.02, 0.0, -0.01])) @ R_true
+    g = 5
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (g, 3, 3))
+    t0 = jnp.zeros((g, 3), jnp.float32)
+    mesh = psh.make_mesh(4, 2)
+    sse_ref, R_ref, t_ref = icp_model.icp_batched(
+        pct, pcs, R0, t0, max_iter=20, convergence_threshold=0.005)
+    sse_sh, R_sh, t_sh = pbnb.icp_sharded(
+        pct, pcs, R0, t0, mesh=mesh, max_iter=20,
+        convergence_threshold=0.005)
+    np.testing.assert_allclose(np.asarray(sse_sh), np.asarray(sse_ref),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(R_sh), np.asarray(R_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as ge
+    finally:
+        sys.path.pop(0)
+    fn, args = ge.entry()
+    lb, ub = jax.jit(fn)(*args)
+    assert lb.shape == ub.shape == (8, 16)
+    assert bool(jnp.all(lb <= ub + 1e-5))
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(3)  # odd count: points axis collapses to 1
