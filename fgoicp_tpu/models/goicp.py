@@ -49,6 +49,7 @@ from ..ops import geometry as geo
 from ..ops import nn as nn_ops
 from ..parallel import bnb as pbnb
 from ..parallel import sharding as psh
+from ..utils import checkpoint as ckpt
 from ..utils import logging as log
 from . import icp as icp_model
 
@@ -125,6 +126,8 @@ class GoICP:
         self.last_translation = np.zeros(3, np.float32)
         self.stats = GoICPStats()
         self._tie = itertools.count()
+        self._fingerprint = ckpt.cloud_fingerprint(pct, pcs)
+        self._resumed_heap = None
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
@@ -278,12 +281,47 @@ class GoICP:
                       np.asarray(self.norm.restore_translation(
                           self.best_rotation, self.best_translation)))
 
+    # ----- checkpoint/resume (absent in the reference; SURVEY §5) -----
+    def save_checkpoint(self, path: str):
+        """Persist the outer frontier + incumbent (atomic, fingerprinted)."""
+        ckpt.save(
+            path, heap=list(getattr(self, "_heap", [])), tie=next(self._tie),
+            best_sse=self.best_sse, best_rotation=self.best_rotation,
+            best_translation=self.best_translation,
+            stats=dataclasses.asdict(self.stats),
+            fingerprint=self._fingerprint)
+
+    def load_checkpoint(self, path: str):
+        """Restore a checkpoint saved against the same cloud pair; the next
+        run() skips the initial ICP and resumes the outer BnB loop."""
+        st = ckpt.load(path, fingerprint=self._fingerprint)
+        self.best_sse = st["best_sse"]
+        self.best_rotation = st["best_rotation"]
+        self.best_translation = st["best_translation"]
+        self.stats = GoICPStats(**st["stats"])
+        self._tie = itertools.count(st["tie"])
+        self._resumed_heap = st["heap"]
+        log.info(f"Resumed checkpoint {path}: best_sse={self.best_sse}, "
+                 f"{len(self._resumed_heap)} frontier nodes")
+
+    def _maybe_checkpoint(self):
+        e = self.engine
+        if e.checkpoint_path and e.checkpoint_every > 0 and \
+                self.stats.outer_steps % e.checkpoint_every == 0:
+            self.save_checkpoint(e.checkpoint_path)
+
     def _branch_and_bound_so3(self):
         """Outer loop (fgoicp.cpp:32-100), batched over rotation nodes."""
         e = self.engine
-        self._heap = []
-        heapq.heappush(self._heap,
-                       (0.0, next(self._tie), (0.0, 0.0, 0.0, 1.0, self.best_sse)))
+        if self._resumed_heap is not None:
+            self._heap = list(self._resumed_heap)
+            heapq.heapify(self._heap)
+            self._resumed_heap = None
+        else:
+            self._heap = []
+            heapq.heappush(
+                self._heap,
+                (0.0, next(self._tie), (0.0, 0.0, 0.0, 1.0, self.best_sse)))
         while self._heap:
             if self.best_sse - self._heap[0][0] <= self.sse_threshold:
                 break  # fgoicp.cpp:44-47
@@ -309,6 +347,7 @@ class GoICP:
                         (float(lb[k]), next(self._tie),
                          (cx, cy, cz, cspan, float(ub[k]))))
             self.stats.outer_steps += 1
+            self._maybe_checkpoint()
         return self.best_sse
 
     # ------------------------------------------------------------------
@@ -316,7 +355,8 @@ class GoICP:
         """Full pipeline; returns (R, t) in the ORIGINAL (world) frame
         (fgoicp.cpp:10-30)."""
         t0 = time.time()
-        self._initial_icp()
+        if self._resumed_heap is None:
+            self._initial_icp()
         self._branch_and_bound_so3()
         self._final_icp()
         self.stats.wall_seconds = time.time() - t0

@@ -1,0 +1,65 @@
+"""Checkpoint/resume of the Go-ICP search state."""
+import numpy as np
+import pytest
+
+from fgoicp_tpu.config import EngineConfig
+from fgoicp_tpu.models.goicp import GoICP
+from fgoicp_tpu.utils import checkpoint as ckpt
+
+
+def _pair(seed=0, n=240):
+    rng = np.random.default_rng(seed)
+    pct = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    ang = 1.1
+    R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                  [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    pcs = pct[:150] @ R.T + np.array([0.4, -0.2, 0.1], np.float32)
+    return pct, pcs
+
+
+def test_roundtrip_low_level(tmp_path):
+    path = str(tmp_path / "state.npz")
+    heap = [(0.5, 0, (0.1, 0.2, 0.3, 0.25, 1.5)),
+            (1.5, 1, (-0.1, -0.2, -0.3, 0.5, 9.9))]
+    ckpt.save(path, heap=heap, tie=7, best_sse=1.25,
+              best_rotation=np.eye(3), best_translation=np.zeros(3),
+              stats={"outer_steps": 3}, fingerprint="abc")
+    st = ckpt.load(path, fingerprint="abc")
+    assert st["heap"] == heap
+    assert st["tie"] == 7 and st["best_sse"] == 1.25
+    assert st["stats"]["outer_steps"] == 3
+    with pytest.raises(ValueError, match="fingerprint"):
+        ckpt.load(path, fingerprint="different")
+
+
+def test_goicp_resume_matches_fresh(tmp_path):
+    pct, pcs = _pair()
+    path = str(tmp_path / "bnb.npz")
+    eng = EngineConfig(rotation_batch=2, frontier_capacity=512,
+                       checkpoint_path=path, checkpoint_every=1)
+
+    # Fresh full run = ground truth result.
+    m_full = GoICP(pct, pcs, mse_threshold=1e-5, engine=eng)
+    m_full.run()
+
+    # Second model resumes from the final checkpoint of the first: it
+    # should reach (at least) the same incumbent without re-seeding ICP.
+    m_res = GoICP(pct, pcs, mse_threshold=1e-5, engine=EngineConfig(
+        rotation_batch=2, frontier_capacity=512))
+    m_res.load_checkpoint(path)
+    m_res.run()
+    assert m_res.best_sse <= m_full.best_sse * 1.0001 + 1e-9
+    # Resume skipped the initial ICP (stats carried over from checkpoint).
+    assert m_res.stats.icp_runs >= m_full.stats.icp_runs - 1
+
+
+def test_checkpoint_rejects_wrong_clouds(tmp_path):
+    pct, pcs = _pair()
+    path = str(tmp_path / "bnb.npz")
+    m = GoICP(pct, pcs, mse_threshold=1e-5)
+    m._heap = []
+    m.save_checkpoint(path)
+    other = GoICP(pct[:-1], pcs, mse_threshold=1e-5)
+    with pytest.raises(ValueError, match="fingerprint"):
+        other.load_checkpoint(path)
