@@ -58,6 +58,7 @@ def main():
         "converged": bool(model.best_sse <= model.sse_threshold * 1.0001
                           or model.mse <= 1e-3),
         "translation_nodes": stats.translation_nodes,
+        "inner_loop_steps": stats.inner_loop_steps,
         "cubes_per_second": round(stats.cubes_per_second, 1),
         "rotation_children": stats.rotation_children,
         "icp_runs": stats.icp_runs,

@@ -128,6 +128,12 @@ class GoICP:
         self._tie = itertools.count()
         self._fingerprint = ckpt.cloud_fingerprint(pct, pcs)
         self._resumed_heap = None
+        # Incumbent history for observability/visualization: one entry per
+        # improvement, (wall_seconds_since_run_start, sse, R, t_normalized).
+        # The reference only exposes the getters + debug logs
+        # (fgoicp.hpp:32-43, fgoicp.cpp:85-87).
+        self.history = []
+        self._t_start = None
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
@@ -165,6 +171,7 @@ class GoICP:
         self.best_sse = float(sse[0])
         self.best_rotation, self.best_translation = R[0], t[0]
         self.stats.icp_runs += 1
+        self._record_improvement()
         log.info(f"Initial ICP best error: {self.best_sse}",
                  "\n\tRotation:\n", R[0], "\n\tTranslation: ", t[0])
 
@@ -275,6 +282,7 @@ class GoICP:
         if sse[k] < self.best_sse:
             self.best_sse = float(sse[k])
             self.best_rotation, self.best_translation = Ri[k], ti[k]
+            self._record_improvement()
             log.debug(f"New best error: {self.best_sse}",
                       "\n\tRotation:\n", self.best_rotation,
                       "\n\tTranslation: ",
@@ -304,50 +312,79 @@ class GoICP:
         log.info(f"Resumed checkpoint {path}: best_sse={self.best_sse}, "
                  f"{len(self._resumed_heap)} frontier nodes")
 
+    def _record_improvement(self):
+        import time as _time
+        elapsed = 0.0 if self._t_start is None else _time.time() - self._t_start
+        self.history.append((elapsed, self.best_sse,
+                             np.asarray(self.best_rotation),
+                             np.asarray(self.best_translation)))
+
     def _maybe_checkpoint(self):
         e = self.engine
         if e.checkpoint_path and e.checkpoint_every > 0 and \
                 self.stats.outer_steps % e.checkpoint_every == 0:
             self.save_checkpoint(e.checkpoint_path)
 
-    def _branch_and_bound_so3(self):
-        """Outer loop (fgoicp.cpp:32-100), batched over rotation nodes."""
-        e = self.engine
+    def root_nodes(self):
+        """Initial outer-frontier nodes: the full quaternion cube
+        (fgoicp.cpp:36).  The multi-host engine overrides the seeding."""
+        return [(0.0, 0.0, 0.0, 1.0)]
+
+    def seed_heap(self):
         if self._resumed_heap is not None:
             self._heap = list(self._resumed_heap)
             heapq.heapify(self._heap)
             self._resumed_heap = None
         else:
             self._heap = []
-            heapq.heappush(
-                self._heap,
-                (0.0, next(self._tie), (0.0, 0.0, 0.0, 1.0, self.best_sse)))
-        while self._heap:
-            if self.best_sse - self._heap[0][0] <= self.sse_threshold:
-                break  # fgoicp.cpp:44-47
-            popped = []
-            while self._heap and len(popped) < e.rotation_batch:
-                popped.append(heapq.heappop(self._heap))
-            children = self._spawn_children(popped)
-            if not children:
-                continue
-            # Chunk to the fixed device width.
-            for i in range(0, len(children), self.n_groups):
-                chunk = children[i:i + self.n_groups]
-                R, ub, best_t, lb = self._evaluate_children(chunk)
-                self.stats.rotation_children += len(chunk)
-                self.last_rotation = R[len(chunk) - 1]
-                self.last_translation = best_t[len(chunk) - 1]
-                self._refine_candidates(R, chunk, ub, best_t)
-                for k, (cx, cy, cz, cspan) in enumerate(chunk):
-                    if lb[k] >= self.best_sse:  # fgoicp.cpp:92
-                        continue
-                    heapq.heappush(
-                        self._heap,
-                        (float(lb[k]), next(self._tie),
-                         (cx, cy, cz, cspan, float(ub[k]))))
-            self.stats.outer_steps += 1
-            self._maybe_checkpoint()
+            for (x, y, z, span) in self.root_nodes():
+                heapq.heappush(
+                    self._heap,
+                    (0.0, next(self._tie), (x, y, z, span, self.best_sse)))
+
+    def heap_min_lb(self) -> float:
+        """Lowest unexplored lower bound (the local optimality gap floor)."""
+        return self._heap[0][0] if self._heap else float(BIG)
+
+    def outer_converged(self) -> bool:
+        """Local termination test (fgoicp.cpp:44-47)."""
+        return (not self._heap or
+                self.best_sse - self._heap[0][0] <= self.sse_threshold)
+
+    def outer_step(self) -> bool:
+        """One outer BnB iteration: pop a batch, evaluate the children's
+        inner searches, refine, push survivors.  Returns False when the
+        frontier is exhausted."""
+        e = self.engine
+        if not self._heap:
+            return False
+        popped = []
+        while self._heap and len(popped) < e.rotation_batch:
+            popped.append(heapq.heappop(self._heap))
+        children = self._spawn_children(popped)
+        for i in range(0, len(children), self.n_groups):
+            chunk = children[i:i + self.n_groups]
+            R, ub, best_t, lb = self._evaluate_children(chunk)
+            self.stats.rotation_children += len(chunk)
+            self.last_rotation = R[len(chunk) - 1]
+            self.last_translation = best_t[len(chunk) - 1]
+            self._refine_candidates(R, chunk, ub, best_t)
+            for k, (cx, cy, cz, cspan) in enumerate(chunk):
+                if lb[k] >= self.best_sse:  # fgoicp.cpp:92
+                    continue
+                heapq.heappush(
+                    self._heap,
+                    (float(lb[k]), next(self._tie),
+                     (cx, cy, cz, cspan, float(ub[k]))))
+        self.stats.outer_steps += 1
+        self._maybe_checkpoint()
+        return True
+
+    def _branch_and_bound_so3(self):
+        """Outer loop (fgoicp.cpp:32-100), batched over rotation nodes."""
+        self.seed_heap()
+        while self._heap and not self.outer_converged():
+            self.outer_step()
         return self.best_sse
 
     # ------------------------------------------------------------------
@@ -355,10 +392,12 @@ class GoICP:
         """Full pipeline; returns (R, t) in the ORIGINAL (world) frame
         (fgoicp.cpp:10-30)."""
         t0 = time.time()
+        self._t_start = t0
         if self._resumed_heap is None:
             self._initial_icp()
         self._branch_and_bound_so3()
         self._final_icp()
+        self._record_improvement()
         self.stats.wall_seconds = time.time() - t0
         t_world = np.asarray(self.norm.restore_translation(
             jnp.asarray(self.best_rotation), jnp.asarray(self.best_translation)))

@@ -41,10 +41,24 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
+import os
+
 from . import coreset as coreset_ops
 from . import distance_field as df_ops
 from . import geometry as geo
 from . import nn as nn_ops
+from . import pallas_bounds
+
+
+def _use_fused_kernel() -> bool:
+    """Fused Pallas bound kernel: on by default on TPU (measured ~40x the
+    XLA composition's node throughput), opt-out via FGOICP_TPU_NO_PALLAS,
+    opt-in anywhere (interpret mode) via FGOICP_TPU_FORCE_PALLAS."""
+    if os.environ.get("FGOICP_TPU_NO_PALLAS"):
+        return False
+    if os.environ.get("FGOICP_TPU_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
 
 
 @jax.tree_util.register_dataclass
@@ -154,25 +168,35 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
 
     base = jnp.einsum("grc,nc->gnr", R, pcs,
                       precision=jax.lax.Precision.HIGHEST)  # [G, ns, 3]
-    q = base[:, None, :, :] + jnp.asarray(t_centers, jnp.float32)[:, :, None, :]
-    d_ub, d_lb = distance_estimates(backend, q)             # [G, B, ns]
 
-    ub_pt = jnp.square(jnp.maximum(d_ub - gam_r[:, None, :], 0.0))
-    lb_pt = jnp.square(jnp.maximum(
-        d_lb - gam_r[:, None, :] - gam_t[:, :, None], 0.0))
-    if point_weights is not None:
-        w = jnp.asarray(point_weights, jnp.float32)[None, None, :]
-        ub_pt = ub_pt * w
-        lb_pt = lb_pt * w
+    if (isinstance(backend, ProxyBackend) and trim_keep is None
+            and _use_fused_kernel()):
+        lb, ub = pallas_bounds.fused_bounds(
+            base, t_centers, backend.coreset.points, gam_r, gam_t,
+            backend.coreset.eps + jnp.float32(backend.eps_rank),
+            point_weights=point_weights,
+            interpret=(jax.default_backend() != "tpu"))
+    else:
+        q = base[:, None, :, :] \
+            + jnp.asarray(t_centers, jnp.float32)[:, :, None, :]
+        d_ub, d_lb = distance_estimates(backend, q)         # [G, B, ns]
 
-    if trim_keep is not None:
-        ns = pcs.shape[0]
-        if trim_keep < ns:
-            ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
-            lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
+        ub_pt = jnp.square(jnp.maximum(d_ub - gam_r[:, None, :], 0.0))
+        lb_pt = jnp.square(jnp.maximum(
+            d_lb - gam_r[:, None, :] - gam_t[:, :, None], 0.0))
+        if point_weights is not None:
+            w = jnp.asarray(point_weights, jnp.float32)[None, None, :]
+            ub_pt = ub_pt * w
+            lb_pt = lb_pt * w
 
-    ub = jnp.sum(ub_pt, axis=-1)
-    lb = jnp.sum(lb_pt, axis=-1)
+        if trim_keep is not None:
+            ns = pcs.shape[0]
+            if trim_keep < ns:
+                ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
+                lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
+
+        ub = jnp.sum(ub_pt, axis=-1)
+        lb = jnp.sum(lb_pt, axis=-1)
     if points_axis is not None:
         ub = jax.lax.psum(ub, points_axis)
         lb = jax.lax.psum(lb, points_axis)

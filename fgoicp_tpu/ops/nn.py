@@ -14,11 +14,31 @@ All functions are shape-polymorphic in Python but trace to static shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
+from . import pallas_nn
+
 BIG = jnp.float32(1e10)  # reference M_INF (common.hpp:18)
+
+
+def use_pallas() -> bool:
+    """Pallas NN kernel: default on TPU; FGOICP_TPU_NO_PALLAS opts out,
+    FGOICP_TPU_FORCE_PALLAS opts in anywhere (interpret mode)."""
+    if os.environ.get("FGOICP_TPU_NO_PALLAS"):
+        return False
+    if os.environ.get("FGOICP_TPU_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_nn(queries, pct):
+    """Exact f32 NN via the Pallas kernel (squared differences in-kernel,
+    so no winner rescore is needed)."""
+    return pallas_nn.nn_argmin(
+        queries, pct, interpret=(jax.default_backend() != "tpu"))
 
 # Streaming chunk sizes; multiples of 128 to line up with TPU lanes.
 _T_CHUNK = 2048
@@ -94,6 +114,8 @@ def nearest_sqdist(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK,
                    rank_precision="highest"):
     """Min squared distance from each query [M, 3] to the target cloud."""
     queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
+    if use_pallas():
+        return _pallas_nn(queries, jnp.asarray(pct, jnp.float32))[0]
     pct_p, _ = _pad_target(jnp.asarray(pct, jnp.float32), t_chunk)
     fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=False,
                                 rank_precision=rank_precision)
@@ -105,6 +127,8 @@ def nearest_neighbor(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK,
                      rank_precision="highest"):
     """(min squared distance, argmin index) per query."""
     queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
+    if use_pallas():
+        return _pallas_nn(queries, jnp.asarray(pct, jnp.float32))
     pct_p, _ = _pad_target(jnp.asarray(pct, jnp.float32), t_chunk)
     fn = lambda q: _chunked_min(q, pct_p, t_chunk, want_idx=True,
                                 rank_precision=rank_precision)

@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for batched SE(3) bound evaluation.
+
+Replaces the XLA composition in ops/bounds.py (rotate -> add translation
+-> NN distance -> uncertainty radii -> relu^2 -> sum) for the proxy/exact
+backends.  The XLA path materializes the [G, B, ns, 3] query tensor and
+streams tiny [8192, 3] @ [3, 2048] matmuls through sequential lax.map /
+lax.scan stages — measured latency-bound at ~7k node evaluations/s on
+v5e.  This kernel keeps everything in VMEM:
+
+  for each (rotation g, translation b, source tile n):   <- grid
+      q   = base[g, :, n-tile] + t[g, b]                 [3, NT]
+      for each proxy tile p (static loop):
+          d2 = (cx - qx)^2 + (cy - qy)^2 + (cz - qz)^2   [PT, NT] (VPU)
+          m  = min(m, min_p d2)                          [1, NT]
+      d       = sqrt(m)
+      ub[g,b] += sum_n w * relu(d - gamma_r)^2
+      lb[g,b] += sum_n w * relu(d - slack - gamma_r - gamma_t)^2
+
+No [G*B*ns, P] intermediate ever touches HBM; per-step traffic is just
+the base tiles (re-read per b) and the resident proxy array.  d2 comes
+from direct squared differences — exact in f32 (the MXU norm-expansion
+form either rounds inputs to bf16, corrupting bound validity, or needs
+precision=HIGHEST, measured 4.7x slower end-to-end).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e10
+
+# Tile sizes: NT lanes per source tile, PT proxy sublanes per inner step.
+NT = 512
+PT = 1024
+
+
+def _kernel(n_p_tiles):
+    def kernel(base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
+               gam_r_ref, gam_t_ref, w_ref, slack_ref, lb_ref, ub_ref):
+        n = pl.program_id(2)
+
+        @pl.when(n == 0)
+        def _():
+            lb_ref[0, 0, 0, 0] = 0.0
+            ub_ref[0, 0, 0, 0] = 0.0
+
+        qx = base_ref[0, 0:1, :] + tx_ref[0, 0, 0, 0]        # [1, NT]
+        qy = base_ref[0, 1:2, :] + ty_ref[0, 0, 0, 0]
+        qz = base_ref[0, 2:3, :] + tz_ref[0, 0, 0, 0]
+
+        # Exact f32 squared differences on the VPU.  The MXU norm-trick
+        # alternative (q_sq + c_sq - 2 cross) either rounds inputs to
+        # bf16 (~3e-3 d2 error — corrupts bound validity) or needs
+        # precision=HIGHEST (6 MXU passes, measured 4.7x slower overall).
+        m = jnp.full((1, NT), BIG, jnp.float32)
+        for p in range(n_p_tiles):
+            c = prox_ref[p * PT:(p + 1) * PT, :]             # [PT, 3]
+            dx = c[:, 0:1] - qx                              # [PT, NT]
+            dy = c[:, 1:2] - qy
+            dz = c[:, 2:3] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
+
+        d = jnp.sqrt(jnp.maximum(m, 0.0))                    # [1, NT]
+        gr = gam_r_ref[0]                                    # [1, NT]
+        w = w_ref[:]                                         # [1, NT]
+        gt = gam_t_ref[0, 0, 0, 0]
+        slack = slack_ref[0, 0]
+        ub_pt = jnp.square(jnp.maximum(d - gr, 0.0))
+        lb_pt = jnp.square(jnp.maximum(d - slack - gr - gt, 0.0))
+        ub_ref[0, 0, 0, 0] += jnp.sum(w * ub_pt)
+        lb_ref[0, 0, 0, 0] += jnp.sum(w * lb_pt)
+
+    return kernel
+
+
+def _pad_axis(a, axis, size, value=0.0):
+    pad = (-a.shape[axis]) % size
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bounds(base, t_centers, proxies, gam_r, gam_t, slack,
+                 point_weights=None, interpret: bool = False):
+    """lb, ub [G, B] for rotated source `base` [G, ns, 3] against proxy
+    points [P, 3] over translation nodes t_centers [G, B, 3].
+
+    gam_r [G, ns] (0 where rotation fixed), gam_t [G, B], slack scalar
+    (lower-bound distance slack: covering radius + rank slack).
+    point_weights [ns] (0 marks padding); defaults to all-ones.
+    """
+    g, ns, _ = base.shape
+    b = t_centers.shape[1]
+    w = (jnp.ones((ns,), jnp.float32) if point_weights is None
+         else jnp.asarray(point_weights, jnp.float32))
+
+    # Transpose to lane-friendly layouts and pad.
+    base_t = _pad_axis(jnp.swapaxes(jnp.asarray(base, jnp.float32), 1, 2),
+                       2, NT)                                 # [G, 3, NSp]
+    nsp = base_t.shape[2]
+    # Padding source lanes: weight 0 (their bound terms are masked out).
+    w = _pad_axis(w, 0, NT)[None, :]                          # [1, NSp]
+    gam_r = _pad_axis(jnp.asarray(gam_r, jnp.float32), 1, NT)[:, None, :]
+    # Padding proxies sit far away so they never win the min (kept finite
+    # to avoid inf arithmetic).
+    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
+                       value=1e6)                             # [Pp, 3]
+    n_p_tiles = prox_p.shape[0] // PT
+    n_tiles = nsp // NT
+
+    # Per-(g, b) scalars carry two trailing singleton dims so their (1, 1)
+    # trailing block equals the array's trailing dims (the Mosaic tiling
+    # rule applies to SMEM blocks too).
+    t_centers = jnp.asarray(t_centers, jnp.float32)[..., None]
+    tx = t_centers[:, :, 0]
+    ty = t_centers[:, :, 1]
+    tz = t_centers[:, :, 2]
+    gb11 = lambda a: a.reshape(g, b, 1, 1)
+
+    grid = (g, b, n_tiles)
+    out_shape = [jax.ShapeDtypeStruct((g, b, 1, 1), jnp.float32)] * 2
+    smem_gb = lambda: pl.BlockSpec((1, 1, 1, 1), lambda i, j, n: (i, j, 0, 0),
+                                   memory_space=pltpu.SMEM)
+    lb, ub = pl.pallas_call(
+        _kernel(n_p_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, NT), lambda i, j, n: (i, 0, n),
+                         memory_space=pltpu.VMEM),            # base
+            smem_gb(),                                        # tx
+            smem_gb(),                                        # ty
+            smem_gb(),                                        # tz
+            pl.BlockSpec((prox_p.shape[0], 3), lambda i, j, n: (0, 0),
+                         memory_space=pltpu.VMEM),            # proxies
+            pl.BlockSpec((1, 1, NT), lambda i, j, n: (i, 0, n),
+                         memory_space=pltpu.VMEM),            # gam_r
+            smem_gb(),                                        # gam_t
+            pl.BlockSpec((1, NT), lambda i, j, n: (0, n),
+                         memory_space=pltpu.VMEM),            # weights
+            pl.BlockSpec((1, 1), lambda i, j, n: (0, 0),
+                         memory_space=pltpu.SMEM),            # slack
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(base_t, gb11(tx), gb11(ty), gb11(tz), prox_p, gam_r,
+      gb11(jnp.asarray(gam_t, jnp.float32)), w,
+      jnp.full((1, 1), slack, jnp.float32))
+    return lb[:, :, 0, 0], ub[:, :, 0, 0]
