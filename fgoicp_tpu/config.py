@@ -66,8 +66,19 @@ class EngineConfig:
     rotation_batch: int = 4
     # Fixed capacity of the per-group device translation frontier.
     frontier_capacity: int = 4096
+    # Inner-BnB scheduling: 'pooled' = one global device frontier shared
+    # by all rotation candidates (full lane utilization, default);
+    # 'grouped' = per-group lockstep frontiers (the multi-device sharded
+    # path currently uses this).
+    frontier_mode: str = "pooled"
+    pool_lanes: int = 1024        # nodes evaluated per pooled step
+    pool_capacity: int = 32768    # pooled frontier capacity
     # ICP (fgoicp.cpp:12,22,76).
     icp_max_iter: int = 100
+    # Fixed lane width of batched ICP calls: triggered BnB candidates are
+    # compacted into chunks of this width (typically 1-2 trigger per outer
+    # step, so running the full child batch wastes >90% of the NN work).
+    icp_width: int = 8
     icp_convergence_init: float = 0.05
     icp_convergence_bnb: float = 0.005
     icp_convergence_final: float = 0.0005

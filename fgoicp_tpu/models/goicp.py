@@ -47,6 +47,7 @@ from ..ops import distance_field as df_ops
 from ..ops import frontier as frontier_ops
 from ..ops import geometry as geo
 from ..ops import nn as nn_ops
+from ..ops import pool_frontier
 from ..parallel import bnb as pbnb
 from ..parallel import sharding as psh
 from ..utils import checkpoint as ckpt
@@ -163,11 +164,25 @@ class GoICP:
                 convergence_threshold=convergence, trim_keep=self.trim_keep)
         return np.asarray(sse), np.asarray(R), np.asarray(t)
 
+    def _icp_padded(self, R0, t0, n_active, convergence):
+        """ICP at the fixed lane width (pads with inactive identity lanes
+        so every call shares one compiled program)."""
+        w = self.engine.icp_width
+        n = len(R0)
+        pad = (-n) % w
+        if pad:
+            R0 = np.concatenate(
+                [R0, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+            t0 = np.concatenate([t0, np.zeros((pad, 3), np.float32)])
+        active = np.arange(len(R0)) < n_active
+        return self._icp(jnp.asarray(R0), jnp.asarray(t0),
+                         jnp.asarray(active), convergence)
+
     def _initial_icp(self):
         """ICP #1 from identity, eps=0.05 (fgoicp.cpp:12-14)."""
-        sse, R, t = self._icp(
-            jnp.eye(3)[None], jnp.zeros((1, 3)), jnp.ones((1,), bool),
-            self.engine.icp_convergence_init)
+        sse, R, t = self._icp_padded(
+            np.eye(3, dtype=np.float32)[None], np.zeros((1, 3), np.float32),
+            1, self.engine.icp_convergence_init)
         self.best_sse = float(sse[0])
         self.best_rotation, self.best_translation = R[0], t[0]
         self.stats.icp_runs += 1
@@ -177,10 +192,10 @@ class GoICP:
 
     def _final_icp(self):
         """ICP polish, eps=0.0005 (fgoicp.cpp:22-23)."""
-        sse, R, t = self._icp(
-            jnp.asarray(self.best_rotation)[None],
-            jnp.asarray(self.best_translation)[None], jnp.ones((1,), bool),
-            self.engine.icp_convergence_final)
+        sse, R, t = self._icp_padded(
+            np.asarray(self.best_rotation, np.float32)[None],
+            np.asarray(self.best_translation, np.float32)[None],
+            1, self.engine.icp_convergence_final)
         self.best_sse = float(sse[0])
         self.best_rotation, self.best_translation = R[0], t[0]
         self.stats.icp_runs += 1
@@ -245,6 +260,13 @@ class GoICP:
                 min_span=e.translation_min_span, batch=e.translation_batch,
                 capacity=e.frontier_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+        elif e.frontier_mode == "pooled":
+            st = pool_frontier.bnb_r3_pooled(
+                self.backend, self.pcs, R2, spans2, fix2,
+                jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
+                group_active=act2, min_span=e.translation_min_span,
+                lanes=e.pool_lanes, capacity=e.pool_capacity,
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
         else:
             st = frontier_ops.bnb_r3_batched(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -262,32 +284,31 @@ class GoICP:
         return np.asarray(R), ub, best_t, lb
 
     def _refine_candidates(self, R, children, ub, best_t):
-        """Batched ICP on children passing the trigger (fgoicp.cpp:74-88)."""
+        """Batched ICP on children passing the trigger (fgoicp.cpp:74-88),
+        compacted into fixed-width chunks (typically 1-2 triggers)."""
         n = len(children)
         trigger = ub < self.best_sse * self.engine.icp_trigger_factor
-        if not np.any(trigger):
+        idxs = np.flatnonzero(trigger[:n] if len(trigger) > n else trigger)
+        if idxs.size == 0:
             return
-        g = self.n_groups
-        R0 = np.tile(np.eye(3, dtype=np.float32), (g, 1, 1))
-        t0 = np.zeros((g, 3), np.float32)
-        active = np.zeros((g,), bool)
-        R0[:n][trigger] = R[:n][trigger]
-        t0[:n][trigger] = best_t[trigger]
-        active[:n][trigger] = True
-        sse, Ri, ti = self._icp(jnp.asarray(R0), jnp.asarray(t0),
-                                jnp.asarray(active),
-                                self.engine.icp_convergence_bnb)
-        self.stats.icp_runs += int(trigger.sum())
-        k = int(np.argmin(np.where(active, sse, BIG)))
-        if sse[k] < self.best_sse:
-            self.best_sse = float(sse[k])
-            self.best_rotation, self.best_translation = Ri[k], ti[k]
-            self._record_improvement()
-            log.debug(f"New best error: {self.best_sse}",
-                      "\n\tRotation:\n", self.best_rotation,
-                      "\n\tTranslation: ",
-                      np.asarray(self.norm.restore_translation(
-                          self.best_rotation, self.best_translation)))
+        self.stats.icp_runs += int(idxs.size)
+        w = self.engine.icp_width
+        for i in range(0, idxs.size, w):
+            chunk = idxs[i:i + w]
+            R0 = np.asarray(R[:n][chunk], np.float32)
+            t0 = np.asarray(best_t[chunk], np.float32)
+            sse, Ri, ti = self._icp_padded(
+                R0, t0, len(chunk), self.engine.icp_convergence_bnb)
+            k = int(np.argmin(sse[:len(chunk)]))
+            if sse[k] < self.best_sse:
+                self.best_sse = float(sse[k])
+                self.best_rotation, self.best_translation = Ri[k], ti[k]
+                self._record_improvement()
+                log.debug(f"New best error: {self.best_sse}",
+                          "\n\tRotation:\n", self.best_rotation,
+                          "\n\tTranslation: ",
+                          np.asarray(self.norm.restore_translation(
+                              self.best_rotation, self.best_translation)))
 
     # ----- checkpoint/resume (absent in the reference; SURVEY §5) -----
     def save_checkpoint(self, path: str):

@@ -79,6 +79,119 @@ def _kernel(n_p_tiles):
     return kernel
 
 
+def _lane_kernel(n_p_tiles):
+    """Per-lane variant: each lane carries its own (group id, translation,
+    gamma_t); the group id is scalar-prefetched so the lane's rotated base
+    tile and gamma_r row are DMA'd via the index map."""
+    def kernel(ids_ref, base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
+               gam_r_ref, gam_t_ref, w_ref, slack_ref, lb_ref, ub_ref):
+        n = pl.program_id(1)
+
+        @pl.when(n == 0)
+        def _():
+            lb_ref[0, 0, 0] = 0.0
+            ub_ref[0, 0, 0] = 0.0
+
+        qx = base_ref[0, 0:1, :] + tx_ref[0, 0, 0, 0]        # [1, NT]
+        qy = base_ref[0, 1:2, :] + ty_ref[0, 0, 0, 0]
+        qz = base_ref[0, 2:3, :] + tz_ref[0, 0, 0, 0]
+
+        m = jnp.full((1, NT), BIG, jnp.float32)
+        for p in range(n_p_tiles):
+            c = prox_ref[p * PT:(p + 1) * PT, :]             # [PT, 3]
+            dx = c[:, 0:1] - qx
+            dy = c[:, 1:2] - qy
+            dz = c[:, 2:3] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
+
+        d = jnp.sqrt(jnp.maximum(m, 0.0))
+        gr = gam_r_ref[0]                                    # [1, NT]
+        w = w_ref[:]
+        gt = gam_t_ref[0, 0, 0, 0]
+        slack = slack_ref[0, 0]
+        ub_pt = jnp.square(jnp.maximum(d - gr, 0.0))
+        lb_pt = jnp.square(jnp.maximum(d - slack - gr - gt, 0.0))
+        ub_ref[0, 0, 0] += jnp.sum(w * ub_pt)
+        lb_ref[0, 0, 0] += jnp.sum(w * lb_pt)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_r, gam_t_lanes,
+                       slack, point_weights=None, interpret: bool = False):
+    """lb, ub [L] for L independent lanes (the pooled-frontier hot op).
+
+    base:        [G, ns, 3] rotated source per group (R_g @ p).
+    gids:        [L] int32 group id per lane (selects base/gam_r rows).
+    t_lanes:     [L, 3] translation per lane.
+    proxies:     [P, 3] target proxy points.
+    gam_r:       [G, ns] rotation uncertainty per group (pre-zeroed rows
+                 for fixed-rotation groups).
+    gam_t_lanes: [L] translation uncertainty per lane.
+    slack:       scalar distance slack for the lower bound.
+    """
+    g, ns, _ = base.shape
+    lanes = gids.shape[0]
+    w = (jnp.ones((ns,), jnp.float32) if point_weights is None
+         else jnp.asarray(point_weights, jnp.float32))
+
+    base_t = _pad_axis(jnp.swapaxes(jnp.asarray(base, jnp.float32), 1, 2),
+                       2, NT)                                 # [G, 3, NSp]
+    nsp = base_t.shape[2]
+    w = _pad_axis(w, 0, NT)[None, :]                          # [1, NSp]
+    gam_r = _pad_axis(jnp.asarray(gam_r, jnp.float32), 1, NT)[:, None, :]
+    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
+                       value=1e6)                             # [Pp, 3]
+    n_p_tiles = prox_p.shape[0] // PT
+    n_tiles = nsp // NT
+
+    t_lanes = jnp.asarray(t_lanes, jnp.float32)
+    l111 = lambda a: a.reshape(lanes, 1, 1, 1)
+    smem_l = lambda: pl.BlockSpec(
+        (1, 1, 1, 1), lambda l, n, ids: (l, 0, 0, 0),
+        memory_space=pltpu.SMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(lanes, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, NT), lambda l, n, ids: (ids[l], 0, n),
+                         memory_space=pltpu.VMEM),            # base
+            smem_l(),                                         # tx
+            smem_l(),                                         # ty
+            smem_l(),                                         # tz
+            pl.BlockSpec((prox_p.shape[0], 3), lambda l, n, ids: (0, 0),
+                         memory_space=pltpu.VMEM),            # proxies
+            pl.BlockSpec((1, 1, NT), lambda l, n, ids: (ids[l], 0, n),
+                         memory_space=pltpu.VMEM),            # gam_r
+            smem_l(),                                         # gam_t
+            pl.BlockSpec((1, NT), lambda l, n, ids: (0, n),
+                         memory_space=pltpu.VMEM),            # weights
+            pl.BlockSpec((1, 1), lambda l, n, ids: (0, 0),
+                         memory_space=pltpu.SMEM),            # slack
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda l, n, ids: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda l, n, ids: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((lanes, 1, 1), jnp.float32)] * 2
+    lb, ub = pl.pallas_call(
+        _lane_kernel(n_p_tiles),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(gids, jnp.int32),
+      base_t, l111(t_lanes[:, 0]), l111(t_lanes[:, 1]), l111(t_lanes[:, 2]),
+      prox_p, gam_r, l111(jnp.asarray(gam_t_lanes, jnp.float32)), w,
+      jnp.full((1, 1), slack, jnp.float32))
+    return lb[:, 0, 0], ub[:, 0, 0]
+
+
 def _pad_axis(a, axis, size, value=0.0):
     pad = (-a.shape[axis]) % size
     if pad == 0:

@@ -1,0 +1,222 @@
+"""Pooled inner R^3 BnB: one global device frontier shared by all groups.
+
+ops/frontier.py runs G independent per-group frontiers in lockstep and
+pops a fixed batch per group per step.  Groups converge at very different
+rates, so most lanes evaluate masked no-ops — measured 8.5% lane
+utilization on the bunny benchmark (166k real nodes over 954 steps of
+64x32 lanes).  This module replaces the per-group frontiers with ONE
+pool of (group id, center, span, lb) nodes sorted by lower bound:
+
+  each step:
+    pop the globally best L nodes (any group) ->
+    evaluate all L lanes in one fused kernel
+    (pallas_bounds.fused_bounds_lanes, group id scalar-prefetched) ->
+    per-group incumbent updates via one-hot reductions ->
+    split survivors into octree children, merge, re-sort, truncate.
+
+Every lane is a real node until the pool drains below L, so device
+utilization tracks the actual work-list size.  Group semantics (per-group
+incumbents, termination gaps, min-ub results) are identical to
+frontier.bnb_r3_batched; only the EXPANSION ORDER differs — global
+best-first instead of per-group best-first — which is at least as
+work-efficient (nodes are popped in the order most likely to prune).
+
+Search-semantics parity with the reference inner loop
+(/root/reference/fgoicp/fgoicp.cpp:102-174) matches frontier.py's:
+termination gap, lb-inheriting children, min-span cutoff, pool-overflow
+drops counted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import bounds as bounds_ops
+from . import geometry as geo
+from . import pallas_bounds
+
+INVALID = jnp.float32(1e30)
+BIG = jnp.float32(1e10)
+
+
+class PoolState(NamedTuple):
+    lbs: jnp.ndarray        # [CP] (INVALID marks empty slots)
+    gids: jnp.ndarray       # [CP] int32
+    centers: jnp.ndarray    # [CP, 3]
+    spans: jnp.ndarray      # [CP]
+    best_err: jnp.ndarray   # [G] per-group pruning incumbent
+    best_ub: jnp.ndarray    # [G] min upper bound seen
+    best_t: jnp.ndarray     # [G, 3]
+    active: jnp.ndarray     # [G] bool
+    steps: jnp.ndarray      # scalar int32
+    evaluated: jnp.ndarray  # [G] int32
+    dropped: jnp.ndarray    # scalar int32 (pool-overflow losses)
+
+
+def _eval_lanes_xla(backend, base, gids, t_lanes, gam_r, gam_t_lanes,
+                    point_weights, trim_keep):
+    """XLA fallback lane evaluator (CPU tests, LUT backend, trimming)."""
+    q = base[gids] + t_lanes[:, None, :]                     # [L, ns, 3]
+    d_ub, d_lb = bounds_ops.distance_estimates(backend, q)   # [L, ns]
+    gr = gam_r[gids]                                         # [L, ns]
+    ub_pt = jnp.square(jnp.maximum(d_ub - gr, 0.0))
+    lb_pt = jnp.square(jnp.maximum(
+        d_lb - gr - gam_t_lanes[:, None], 0.0))
+    if point_weights is not None:
+        ub_pt = ub_pt * point_weights[None, :]
+        lb_pt = lb_pt * point_weights[None, :]
+    if trim_keep is not None and trim_keep < ub_pt.shape[-1]:
+        ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
+        lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
+    return jnp.sum(lb_pt, axis=-1), jnp.sum(ub_pt, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lanes", "capacity", "max_steps", "ref_compat_gamma", "trim_keep",
+    "points_axis", "lockstep_axes", "use_kernel"))
+def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
+                  sse_threshold, group_active=None, min_span=0.1,
+                  lanes: int = 1024, capacity: int = 32768,
+                  max_steps: int = 100000, ref_compat_gamma: bool = False,
+                  trim_keep: Optional[int] = None,
+                  points_axis=None, lockstep_axes=(),
+                  use_kernel: Optional[bool] = None,
+                  point_weights=None):
+    """Pool-scheduled equivalent of frontier.bnb_r3_batched.
+
+    Same arguments and result contract (per-group best_ub/best_t/...),
+    plus `lanes` (device width per step) and pool `capacity`.
+    `use_kernel=None` auto-selects the Pallas lane kernel on TPU for
+    proxy backends without trimming.
+    """
+    R = jnp.asarray(R, jnp.float32)
+    g = R.shape[0]
+    pcs = jnp.asarray(pcs, jnp.float32)
+    if group_active is None:
+        group_active = jnp.ones((g,), bool)
+    if use_kernel is None:
+        use_kernel = (isinstance(backend, bounds_ops.ProxyBackend)
+                      and trim_keep is None
+                      and bounds_ops._use_fused_kernel())
+
+    base = jnp.einsum("grc,nc->gnr", R, pcs,
+                      precision=jax.lax.Precision.HIGHEST)   # [G, ns, 3]
+    norms = jnp.linalg.norm(pcs, axis=-1)
+    gam_r = geo.rotation_uncertainty_radius(
+        norms[None, :], jnp.asarray(rot_spans, jnp.float32)[:, None],
+        ref_compat=ref_compat_gamma)                         # [G, ns]
+    gam_r = jnp.where(jnp.asarray(fix_rot)[:, None], 0.0, gam_r)
+    if use_kernel:
+        slack = backend.coreset.eps + jnp.float32(backend.eps_rank)
+
+    cp = capacity
+    gid0 = jnp.arange(cp, dtype=jnp.int32) % g
+    in_init = jnp.arange(cp) < g
+    lbs0 = jnp.where(in_init & group_active[gid0], 0.0, INVALID)
+    state0 = PoolState(
+        lbs=lbs0.astype(jnp.float32),
+        gids=gid0,
+        centers=jnp.zeros((cp, 3), jnp.float32),
+        spans=jnp.where(in_init, 1.0, 0.0).astype(jnp.float32),
+        best_err=jnp.full((g,), jnp.float32(best_sse)),
+        best_ub=jnp.full((g,), BIG),
+        best_t=jnp.zeros((g, 3), jnp.float32),
+        active=jnp.asarray(group_active),
+        steps=jnp.int32(0),
+        evaluated=jnp.zeros((g,), jnp.int32),
+        dropped=jnp.int32(0),
+    )
+    grange = jnp.arange(g, dtype=jnp.int32)
+
+    def group_minlb(lbs, gids):
+        """Min lb per group over the pool ([G])."""
+        onehot = gids[:, None] == grange[None, :]            # [CP, G]
+        return jnp.min(jnp.where(onehot, lbs[:, None], INVALID), axis=0)
+
+    def cond(s: PoolState):
+        alive = jnp.sum(s.active.astype(jnp.int32))
+        axes = tuple(lockstep_axes) + (
+            (points_axis,) if points_axis is not None else ())
+        if axes:
+            alive = jax.lax.psum(alive, axes)
+        return (alive > 0) & (s.steps < max_steps)
+
+    def body(s: PoolState) -> PoolState:
+        pop_lb = s.lbs[:lanes]
+        pop_gid = s.gids[:lanes]
+        pop_c = s.centers[:lanes]
+        pop_s = s.spans[:lanes]
+        lane_valid = ((pop_lb < INVALID)
+                      & (pop_lb < s.best_err[pop_gid])
+                      & s.active[pop_gid])
+        gam_t_l = geo.translation_uncertainty_radius(pop_s)  # [L]
+
+        if use_kernel:
+            lb_e, ub_e = pallas_bounds.fused_bounds_lanes(
+                base, pop_gid, pop_c, backend.coreset.points, gam_r,
+                gam_t_l, slack, point_weights=point_weights,
+                interpret=(jax.default_backend() != "tpu"))
+        else:
+            lb_e, ub_e = _eval_lanes_xla(
+                backend, base, pop_gid, pop_c, gam_r, gam_t_l,
+                point_weights, trim_keep)
+        if points_axis is not None:
+            lb_e = jax.lax.psum(lb_e, points_axis)
+            ub_e = jax.lax.psum(ub_e, points_axis)
+        lb_e = jnp.where(lane_valid, lb_e, BIG)
+        ub_e = jnp.where(lane_valid, ub_e, BIG)
+
+        # Per-group incumbent updates via one-hot reductions [L, G].
+        onehot = pop_gid[:, None] == grange[None, :]
+        ub_grid = jnp.where(onehot, ub_e[:, None], BIG)
+        grp_min_ub = jnp.min(ub_grid, axis=0)                # [G]
+        grp_arg = jnp.argmin(ub_grid, axis=0)                # [G] lane idx
+        best_ub = jnp.where(s.active,
+                            jnp.minimum(s.best_ub, grp_min_ub), s.best_ub)
+        improve = s.active & (grp_min_ub < s.best_err)
+        best_err = jnp.where(improve, grp_min_ub, s.best_err)
+        best_t = jnp.where(improve[:, None], pop_c[grp_arg], s.best_t)
+
+        # Children inherit the evaluated lb (fgoicp.cpp:159-166).
+        split = lane_valid & (lb_e < best_err[pop_gid]) & (pop_s >= min_span)
+        ch_c, ch_s = geo.split_octree(pop_c, pop_s)          # [L, 8, 3]
+        ch_lb = jnp.broadcast_to(
+            jnp.where(split, lb_e, INVALID)[:, None], (lanes, 8))
+        ch_gid = jnp.broadcast_to(pop_gid[:, None], (lanes, 8))
+
+        all_lb = jnp.concatenate([s.lbs[lanes:], ch_lb.reshape(-1)])
+        all_gid = jnp.concatenate([s.gids[lanes:], ch_gid.reshape(-1)])
+        all_c = jnp.concatenate([s.centers[lanes:], ch_c.reshape(-1, 3)])
+        all_s = jnp.concatenate([s.spans[lanes:], ch_s.reshape(-1)])
+        # Re-check dominance against the fresher incumbent and inactive
+        # groups before sorting (ref pops-and-drops, fgoicp.cpp:127).
+        keep = (all_lb < INVALID) & (all_lb < best_err[all_gid]) \
+            & s.active[all_gid]
+        all_lb = jnp.where(keep, all_lb, INVALID)
+        order = jnp.argsort(all_lb)[:cp]
+        new_lb = all_lb[order]
+        new_gid = all_gid[order]
+        new_c = all_c[order]
+        new_s = all_s[order]
+        n_valid = jnp.sum(all_lb < INVALID)
+        dropped = s.dropped + jnp.maximum(n_valid - cp, 0).astype(jnp.int32)
+
+        minlb = group_minlb(new_lb, new_gid)                 # [G]
+        converged = (best_err - minlb) < sse_threshold
+        empty = minlb >= INVALID
+        active = s.active & ~(converged | empty)
+
+        evaluated = s.evaluated + jnp.sum(
+            jnp.where(onehot & lane_valid[:, None], 1, 0), axis=0)
+
+        return PoolState(
+            lbs=new_lb, gids=new_gid, centers=new_c, spans=new_s,
+            best_err=best_err, best_ub=best_ub, best_t=best_t,
+            active=active, steps=s.steps + 1, evaluated=evaluated,
+            dropped=dropped)
+
+    return jax.lax.while_loop(cond, body, state0)

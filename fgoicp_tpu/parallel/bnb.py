@@ -25,9 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from typing import NamedTuple
+
 from ..models import icp as icp_model
 from ..ops import frontier as frontier_ops
+from ..ops import pool_frontier
 from . import sharding as sh
+
+
+class PoolResult(NamedTuple):
+    """Per-group results of a sharded pooled search (what GoICP consumes)."""
+    best_ub: jnp.ndarray    # [G]
+    best_t: jnp.ndarray     # [G, 3]
+    evaluated: jnp.ndarray  # [G]
+    steps: jnp.ndarray      # scalar
+    dropped: jnp.ndarray    # [n_cubes] per-shard overflow drops
 
 
 def _pad_groups(tree_arrays, g, gp):
@@ -114,6 +126,65 @@ def bnb_r3_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
         best_err=trim(st.best_err), best_ub=trim(st.best_ub),
         best_t=trim(st.best_t), active=trim(st.active), steps=st.steps,
         evaluated=trim(st.evaluated), dropped=trim(st.dropped))
+
+
+def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
+                          sse_threshold, mesh: Mesh, group_active=None,
+                          min_span=0.1, lanes: int = 1024,
+                          capacity: int = 32768, max_steps: int = 100000,
+                          ref_compat_gamma: bool = False,
+                          trim_keep: Optional[int] = None):
+    """Pooled inner BnB over a (cubes, points) mesh.
+
+    Each cubes-shard runs its own pool over its slice of the rotation
+    groups (node parallelism); source points shard over the points axis
+    with psum-reduced bounds.  Termination is a lockstep global vote, so
+    shards with drained pools idle until every shard converges.
+    """
+    n_cubes = mesh.shape[sh.CUBES_AXIS]
+    n_points = mesh.shape[sh.POINTS_AXIS]
+    if trim_keep is not None and n_points > 1:
+        raise ValueError(
+            "trimmed bounds need a global top-k; use mesh_points=1 with trim")
+    R = jnp.asarray(R, jnp.float32)
+    g = R.shape[0]
+    if group_active is None:
+        group_active = jnp.ones((g,), bool)
+    gp = sh.pad_to_multiple(g, n_cubes)
+    R_p, spans_p, fix_p, act_p = _pad_groups(
+        [R, jnp.asarray(rot_spans, jnp.float32), jnp.asarray(fix_rot, bool),
+         jnp.asarray(group_active, bool)], g, gp)
+    act_p = act_p & (jnp.arange(gp) < g)
+    pcs_p, w_p = _pad_points(pcs, n_points)
+
+    points_axis = sh.POINTS_AXIS if n_points > 1 else None
+    lockstep = (sh.CUBES_AXIS,) if n_cubes > 1 else ()
+
+    def local(backend_, pcs_, w_, R_, spans_, fix_, act_, best_sse_, thr_):
+        st = pool_frontier.bnb_r3_pooled(
+            backend_, pcs_, R_, spans_, fix_, best_sse_, thr_,
+            group_active=act_, min_span=min_span, lanes=lanes,
+            capacity=capacity, max_steps=max_steps,
+            ref_compat_gamma=ref_compat_gamma, trim_keep=trim_keep,
+            points_axis=points_axis, lockstep_axes=lockstep,
+            point_weights=(None if n_points == 1 else w_))
+        return PoolResult(best_ub=st.best_ub, best_t=st.best_t,
+                          evaluated=st.evaluated, steps=st.steps,
+                          dropped=st.dropped[None])
+
+    gspec = P(sh.CUBES_AXIS)
+    out_specs = PoolResult(best_ub=gspec, best_t=gspec, evaluated=gspec,
+                           steps=P(), dropped=P(sh.CUBES_AXIS))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(sh.POINTS_AXIS), P(sh.POINTS_AXIS),
+                  gspec, gspec, gspec, gspec, P(), P()),
+        out_specs=out_specs, check_vma=False)
+    st = fn(backend, pcs_p, w_p, R_p, spans_p, fix_p, act_p,
+            jnp.float32(best_sse), jnp.float32(sse_threshold))
+    return PoolResult(best_ub=st.best_ub[:g], best_t=st.best_t[:g],
+                      evaluated=st.evaluated[:g], steps=st.steps,
+                      dropped=st.dropped)
 
 
 def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,

@@ -2,7 +2,7 @@
 import numpy as np
 import pytest
 
-from fgoicp_tpu.config import EngineConfig
+from util import test_engine
 from fgoicp_tpu.models.goicp import GoICP
 from fgoicp_tpu.utils import checkpoint as ckpt
 
@@ -36,8 +36,7 @@ def test_roundtrip_low_level(tmp_path):
 def test_goicp_resume_matches_fresh(tmp_path):
     pct, pcs = _pair()
     path = str(tmp_path / "bnb.npz")
-    eng = EngineConfig(rotation_batch=2, frontier_capacity=512,
-                       checkpoint_path=path, checkpoint_every=1)
+    eng = test_engine(checkpoint_path=path, checkpoint_every=1)
 
     # Fresh full run = ground truth result.
     m_full = GoICP(pct, pcs, mse_threshold=1e-5, engine=eng)
@@ -45,8 +44,7 @@ def test_goicp_resume_matches_fresh(tmp_path):
 
     # Second model resumes from the final checkpoint of the first: it
     # should reach (at least) the same incumbent without re-seeding ICP.
-    m_res = GoICP(pct, pcs, mse_threshold=1e-5, engine=EngineConfig(
-        rotation_batch=2, frontier_capacity=512))
+    m_res = GoICP(pct, pcs, mse_threshold=1e-5, engine=test_engine())
     m_res.load_checkpoint(path)
     m_res.run()
     assert m_res.best_sse <= m_full.best_sse * 1.0001 + 1e-9

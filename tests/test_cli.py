@@ -46,6 +46,8 @@ mse_threshold = 1e-4
 [engine]
 rotation_batch = 2
 frontier_capacity = 512
+pool_lanes = 256
+pool_capacity = 8192
 """)
     rc = cli_run(["-c", str(cfg)])
     assert rc == 0

@@ -5,7 +5,7 @@ import threading
 import numpy as np
 import pytest
 
-from fgoicp_tpu.config import EngineConfig
+from util import test_engine
 from fgoicp_tpu.models.goicp import GoICP
 from fgoicp_tpu.parallel import distributed as dist
 
@@ -35,7 +35,7 @@ def _problem(seed=0, n=220, angle=2.1):
 @pytest.mark.parametrize("n_hosts", [2, 3])
 def test_multihost_matches_single_host(n_hosts):
     pct, pcs, R_true, t_true = _problem()
-    eng = EngineConfig(rotation_batch=2, frontier_capacity=512)
+    eng = test_engine()
 
     single = GoICP(pct, pcs, mse_threshold=1e-4, engine=eng,
                    bound_backend="exact")
@@ -50,7 +50,7 @@ def test_multihost_matches_single_host(n_hosts):
         try:
             m = dist.MultiHostGoICP(
                 pct, pcs, comms[rank], mse_threshold=1e-4,
-                engine=EngineConfig(rotation_batch=2, frontier_capacity=512),
+                engine=test_engine(),
                 bound_backend="exact")
             models[rank] = m
             results[rank] = m.run()

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fgoicp_tpu.config import Config, EngineConfig
+from fgoicp_tpu.config import Config
+from util import test_engine
 from fgoicp_tpu.models.goicp import GoICP, register
 
 
@@ -28,7 +29,7 @@ class TestGoICP:
     def test_recovers_large_rotation(self, backend):
         pct, pcs, R_true, t_true = _make_problem(angle=2.2)
         model = GoICP(pct, pcs, mse_threshold=1e-4,
-                      engine=EngineConfig(rotation_batch=4),
+                      engine=test_engine(),
                       bound_backend=backend, proxy_size=128)
         R, t = model.run()
         assert model.mse < 1e-4
@@ -44,7 +45,7 @@ class TestGoICP:
         pct_w = pct * 37.0 + np.array([100.0, -50.0, 3.0], np.float32)
         pcs_w = pcs * 37.0 + np.array([-8.0, 2.0, 77.0], np.float32)
         model = GoICP(pct_w, pcs_w, mse_threshold=1e-4,
-                      engine=EngineConfig(rotation_batch=4),
+                      engine=test_engine(),
                       bound_backend="exact")
         R, t = model.run()
         mapped = pcs_w @ np.asarray(R).T + np.asarray(t)
@@ -54,7 +55,7 @@ class TestGoICP:
     def test_getters_match_reference_surface(self):
         pct, pcs, _, _ = _make_problem(seed=2, angle=0.3)
         model = GoICP(pct, pcs, mse_threshold=1e-3,
-                      engine=EngineConfig(rotation_batch=2),
+                      engine=test_engine(),
                       bound_backend="exact")
         model.run()
         err = model.get_best_error()
@@ -75,7 +76,8 @@ class TestGoICP:
             "io": {"target": str(tpath), "source": str(spath)},
             "params": {"mse_threshold": 1e-4,
                        "target_subsample": 1.0, "source_subsample": 0.5},
-            "engine": {"rotation_batch": 2},
+            "engine": {"rotation_batch": 2, "frontier_capacity": 512,
+                       "pool_lanes": 256, "pool_capacity": 8192},
         })
         model, R, t = register(cfg)
         # source_subsample clamps to 0.5 -> half the source points used;
@@ -91,7 +93,7 @@ class TestGoICP:
         outliers = rng.uniform(-3, 3, size=(n_out, 3)).astype(np.float32)
         pcs_noisy = np.concatenate([pcs, outliers])
         model = GoICP(pct, pcs_noisy, mse_threshold=1e-4,
-                      engine=EngineConfig(rotation_batch=4),
+                      engine=test_engine(),
                       bound_backend="exact", trim_fraction=0.25)
         R, t = model.run()
         np.testing.assert_allclose(R, R_true, atol=0.05)

@@ -26,7 +26,7 @@ def _problem(seed=0, nt=131, ns=67, g=9):
     return backend, pct, pcs, R, spans, fix
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
 def test_bnb_r3_sharded_matches_single_device(mesh_shape):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")

@@ -1,0 +1,74 @@
+"""Pooled frontier must reach the same per-group results as the
+per-group lockstep frontier (same bounds math, different pop order)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgoicp_tpu.ops import bounds as bounds_ops
+from fgoicp_tpu.ops import frontier as frontier_ops
+from fgoicp_tpu.ops import geometry as geo
+from fgoicp_tpu.ops import pool_frontier
+
+
+def _problem(seed=0, nt=131, ns=67, g=6):
+    rng = np.random.default_rng(seed)
+    pct = jnp.asarray(rng.uniform(-0.8, 0.8, size=(nt, 3)), jnp.float32)
+    pcs = jnp.asarray(rng.uniform(-0.6, 0.6, size=(ns, 3)), jnp.float32)
+    backend = bounds_ops.make_backend(pct, kind="exact")
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, size=(g, 3)), jnp.float32)
+    R = geo.quat_cube_to_matrix(xyz)
+    spans = jnp.full((g,), 0.25, jnp.float32)
+    fix = jnp.asarray([True, False] * (g // 2))
+    return backend, pcs, R, spans, fix
+
+
+@pytest.mark.parametrize("lanes", [32])
+def test_pooled_matches_grouped(lanes):
+    backend, pcs, R, spans, fix = _problem()
+    args = (backend, pcs, R, spans, fix,
+            jnp.float32(1e9), jnp.float32(1e-4))
+    ref = frontier_ops.bnb_r3_batched(*args, batch=8, capacity=1024,
+                                      max_steps=300)
+    st = pool_frontier.bnb_r3_pooled(*args, lanes=lanes, capacity=4096,
+                                     max_steps=2000)
+    # The pop ORDER differs, so node counts may differ, but both searches
+    # prove the same per-group optima.
+    np.testing.assert_allclose(np.asarray(st.best_ub),
+                               np.asarray(ref.best_ub), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.best_err),
+                               np.asarray(ref.best_err), rtol=1e-4, atol=1e-6)
+    # Translations achieving the min-ub may be any member of the argmin
+    # set; verify by re-evaluating the bounds at the returned t.
+    g = R.shape[0]
+    lbr, ubr = bounds_ops.evaluate_bounds(
+        backend, pcs, R, spans, fix, st.best_t[:, None, :],
+        jnp.zeros((g, 1), jnp.float32))
+    np.testing.assert_allclose(np.asarray(ubr[:, 0]),
+                               np.asarray(st.best_ub), rtol=1e-4, atol=1e-6)
+    assert int(st.steps) < 2000
+    assert np.all(np.asarray(st.evaluated) > 0)
+
+
+def test_pooled_respects_inactive_groups():
+    backend, pcs, R, spans, fix = _problem(seed=1)
+    act = jnp.asarray([True, False, True, False, True, False])
+    st = pool_frontier.bnb_r3_pooled(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        group_active=act, lanes=32, capacity=2048, max_steps=2000)
+    ev = np.asarray(st.evaluated)
+    assert np.all(ev[~np.asarray(act)] == 0)
+    assert np.all(ev[np.asarray(act)] > 0)
+
+
+def test_pooled_trimmed_bounds():
+    backend, pcs, R, spans, fix = _problem(seed=2)
+    ns = pcs.shape[0]
+    keep = int(ns * 0.8)
+    ref = frontier_ops.bnb_r3_batched(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        batch=8, capacity=1024, max_steps=300, trim_keep=keep)
+    st = pool_frontier.bnb_r3_pooled(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        lanes=32, capacity=2048, max_steps=2000, trim_keep=keep)
+    np.testing.assert_allclose(np.asarray(st.best_ub),
+                               np.asarray(ref.best_ub), rtol=1e-4, atol=1e-6)
