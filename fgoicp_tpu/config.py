@@ -63,7 +63,10 @@ class EngineConfig:
     translation_batch: int = 32
     # Number of rotation nodes popped from the outer queue per device step;
     # their (up to) 8 children each run inner BnB in lockstep on-device.
-    rotation_batch: int = 4
+    # 8 measured best on bunny: deeper batches share the incumbent across
+    # more children per device call (3x fewer nodes than 4) while keeping
+    # host round-trips low.
+    rotation_batch: int = 8
     # Fixed capacity of the per-group device translation frontier.
     frontier_capacity: int = 4096
     # Inner-BnB scheduling: 'pooled' = one global device frontier shared
