@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default="",
                    help="Write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans: fail fast on any NaN in "
+                        "the compute path (the reference's cudaCheckError "
+                        "analog, common.cpp:7-21)")
     p.add_argument("--version", action="version",
                    version=f"%(prog)s {__version__}")
     return p
@@ -54,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log.set_verbose(args.verbose)
+
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     cfg = Config.from_toml(args.config)
     if args.seed is not None:

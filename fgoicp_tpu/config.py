@@ -86,6 +86,10 @@ class EngineConfig:
     icp_convergence_bnb: float = 0.005
     icp_convergence_final: float = 0.0005
     icp_trigger_factor: float = 1.8
+    # Seed the incumbent from identity + the 8 rotation-cube octant
+    # centers in one batched ICP call (the reference seeds from identity
+    # only); a stronger initial incumbent prunes the whole BnB.
+    icp_multi_start: bool = True
     # Bound math: when True, reproduce the reference's rotation-uncertainty
     # radius exactly (squared point norm, unclamped half-angle,
     # registration.cu:39-43); when False use the Go-ICP paper's correct form

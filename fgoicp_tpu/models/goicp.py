@@ -32,6 +32,7 @@ final incumbent are identical.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import heapq
 import itertools
 import time
@@ -165,30 +166,55 @@ class GoICP:
         return np.asarray(sse), np.asarray(R), np.asarray(t)
 
     def _icp_padded(self, R0, t0, n_active, convergence):
-        """ICP at the fixed lane width (pads with inactive identity lanes
-        so every call shares one compiled program)."""
+        """ICP in chunks of the fixed lane width (pads the tail with
+        inactive identity lanes) so every call shares one compiled
+        program regardless of candidate count."""
         w = self.engine.icp_width
         n = len(R0)
-        pad = (-n) % w
-        if pad:
-            R0 = np.concatenate(
-                [R0, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
-            t0 = np.concatenate([t0, np.zeros((pad, 3), np.float32)])
-        active = np.arange(len(R0)) < n_active
-        return self._icp(jnp.asarray(R0), jnp.asarray(t0),
-                         jnp.asarray(active), convergence)
+        outs = []
+        for i in range(0, n, w):
+            Rc = np.asarray(R0[i:i + w], np.float32)
+            tc = np.asarray(t0[i:i + w], np.float32)
+            k = len(Rc)
+            if k < w:
+                Rc = np.concatenate(
+                    [Rc, np.tile(np.eye(3, dtype=np.float32),
+                                 (w - k, 1, 1))])
+                tc = np.concatenate([tc, np.zeros((w - k, 3), np.float32)])
+            active = np.arange(w) < max(0, min(n_active - i, w))
+            sse, R, t = self._icp(jnp.asarray(Rc), jnp.asarray(tc),
+                                  jnp.asarray(active), convergence)
+            outs.append((sse[:k], R[:k], t[:k]))
+        return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
 
     def _initial_icp(self):
-        """ICP #1 from identity, eps=0.05 (fgoicp.cpp:12-14)."""
+        """Seed the incumbent with ICP (eps=0.05).
+
+        The reference starts from identity only (fgoicp.cpp:12-14); with
+        engine.icp_multi_start, one batched call additionally starts from
+        the 8 rotation-cube octant centers — the batch costs the same
+        device call, and a better incumbent prunes the whole search.
+        """
+        if self.engine.icp_multi_start:
+            octants = np.array(
+                [[sx * 0.5, sy * 0.5, sz * 0.5]
+                 for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                np.float32)
+            R0 = np.concatenate([
+                np.eye(3, dtype=np.float32)[None],
+                np.asarray(geo.quat_cube_to_matrix(jnp.asarray(octants)))])
+        else:
+            R0 = np.eye(3, dtype=np.float32)[None]
+        t0 = np.zeros((len(R0), 3), np.float32)
         sse, R, t = self._icp_padded(
-            np.eye(3, dtype=np.float32)[None], np.zeros((1, 3), np.float32),
-            1, self.engine.icp_convergence_init)
-        self.best_sse = float(sse[0])
-        self.best_rotation, self.best_translation = R[0], t[0]
-        self.stats.icp_runs += 1
+            R0, t0, len(R0), self.engine.icp_convergence_init)
+        k = int(np.argmin(sse[:len(R0)]))
+        self.best_sse = float(sse[k])
+        self.best_rotation, self.best_translation = R[k], t[k]
+        self.stats.icp_runs += len(R0)
         self._record_improvement()
         log.info(f"Initial ICP best error: {self.best_sse}",
-                 "\n\tRotation:\n", R[0], "\n\tTranslation: ", t[0])
+                 "\n\tRotation:\n", R[k], "\n\tTranslation: ", t[k])
 
     def _final_icp(self):
         """ICP polish, eps=0.0005 (fgoicp.cpp:22-23)."""
@@ -234,6 +260,23 @@ class GoICP:
                 eval_list.append((cx, cy, cz, child_span))
         return eval_list
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _prep_children(arr, n, g):
+        """Build the duplicated ub/lb lane inputs in one device call
+        (a dozen eager dispatches otherwise — each is a tunnel roundtrip
+        on remote-attached TPUs)."""
+        xyz = arr[:, :3]
+        spans = arr[:, 3]
+        R = geo.quat_cube_to_matrix(xyz)                      # [G, 3, 3]
+        active = jnp.arange(g) < n
+        # Lanes [0:G] = ub pass (fix_rot), [G:2G] = lb pass.
+        R2 = jnp.concatenate([R, R], axis=0)
+        spans2 = jnp.concatenate([spans, spans], axis=0)
+        fix2 = jnp.concatenate([jnp.ones((g,), bool), jnp.zeros((g,), bool)])
+        act2 = jnp.concatenate([active, active])
+        return R, R2, spans2, fix2, act2
+
     def _evaluate_children(self, children):
         """One device call: ub-pass + lb-pass inner BnB for all children."""
         e = self.engine
@@ -241,18 +284,18 @@ class GoICP:
         n = len(children)
         arr = np.zeros((g, 4), np.float32)
         arr[:n] = np.asarray(children, np.float32)
-        xyz = jnp.asarray(arr[:, :3])
-        spans = jnp.asarray(arr[:, 3])
-        R = geo.quat_cube_to_matrix(xyz)                      # [G, 3, 3]
-        active = jnp.arange(g) < n
+        R, R2, spans2, fix2, act2 = self._prep_children(
+            jnp.asarray(arr), n, g)
 
-        # Lanes [0:G] = ub pass (fix_rot), [G:2G] = lb pass.
-        R2 = jnp.concatenate([R, R], axis=0)
-        spans2 = jnp.concatenate([spans, spans], axis=0)
-        fix2 = jnp.concatenate([jnp.ones((g,), bool), jnp.zeros((g,), bool)])
-        act2 = jnp.concatenate([active, active])
-
-        if self.mesh is not None:
+        if self.mesh is not None and e.frontier_mode == "pooled":
+            st = pbnb.bnb_r3_pooled_sharded(
+                self.backend, self.pcs, R2, spans2, fix2,
+                jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
+                mesh=self.mesh, group_active=act2,
+                min_span=e.translation_min_span, lanes=e.pool_lanes,
+                capacity=e.pool_capacity,
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+        elif self.mesh is not None:
             st = pbnb.bnb_r3_sharded(
                 self.backend, self.pcs, R2, spans2, fix2,
                 jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),

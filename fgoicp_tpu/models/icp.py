@@ -47,11 +47,12 @@ def _masked(pred, new, old):
 
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "t_chunk", "q_chunk", "trim_keep",
-                              "rank_precision")
+                              "rank_precision", "target_axis")
 )
 def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
                 convergence_threshold=0.005, t_chunk=2048, q_chunk=8192,
-                trim_keep=None, rank_precision="highest"):
+                trim_keep=None, rank_precision="highest",
+                target_axis=None, target_offset=None):
     """Run G ICP problems in lockstep.
 
     pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch).
@@ -60,6 +61,12 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     trim_keep: keep only the K best correspondences per iteration and sum
     only the K smallest residuals (trimmed ICP — an extension the reference
     parses but never implements, SURVEY §2 row 2).
+    target_axis/target_offset: when the TARGET cloud is sharded over a
+    mesh axis (`pct` is this device's slice starting at global row
+    `target_offset`), correspondences resolve via a pmin vote: global
+    min distance by pmin, the owner shard contributes the winning point
+    through a masked psum.  Padding rows in a shard must sit far away
+    (they never win the vote).
     Returns (sse [G], R [G, 3, 3], t [G, 3]).
     """
     pct = jnp.asarray(pct, jnp.float32)
@@ -68,6 +75,7 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     t0 = jnp.asarray(t0, jnp.float32)
     g = R0.shape[0]
     ns = pcs.shape[0]
+    nt_local = pct.shape[0]
     if active is None:
         active = jnp.ones((g,), bool)
 
@@ -77,7 +85,25 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
         d2, idx = nn_ops.nearest_neighbor(
             cur.reshape(g * ns, 3), pct, t_chunk=t_chunk, q_chunk=q_chunk,
             rank_precision=rank_precision)
+        if target_axis is not None:
+            gidx = idx + target_offset
+            best_d2 = jax.lax.pmin(d2, target_axis)
+            # Owner shards vote with their global index; ties resolve to
+            # the smallest index, deterministically.
+            vote = jnp.where(d2 <= best_d2, gidx, jnp.int32(2 ** 31 - 1))
+            best_idx = jax.lax.pmin(vote, target_axis)
+            return best_d2.reshape(g, ns), best_idx.reshape(g, ns)
         return d2.reshape(g, ns), idx.reshape(g, ns)
+
+    def gather_corr(idx):
+        """Correspondence coordinates for global indices [G, ns]."""
+        if target_axis is None:
+            return pct[idx]
+        local = idx - target_offset
+        in_range = (local >= 0) & (local < nt_local)
+        pts = pct[jnp.clip(local, 0, nt_local - 1)]
+        pts = jnp.where(in_range[..., None], pts, 0.0)
+        return jax.lax.psum(pts, target_axis)
 
     def trimmed_sum(d2):
         if trim_keep is None or trim_keep >= ns:
@@ -94,7 +120,7 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
         run = ~s.done
         # Correspondences on the current (pre-update) points (icp3d.cu:146).
         d2c, idx = nn_query(s.cur)
-        corr = pct[idx]  # [G, ns, 3]
+        corr = gather_corr(idx)  # [G, ns, 3]
         R_, t_ = proc_ops.procrustes(s.cur, corr, mask=trim_mask(d2c))
         new_cur = jnp.einsum("grc,gnc->gnr", R_, s.cur, precision=jax.lax.Precision.HIGHEST) + t_[:, None, :]
         new_R = jnp.einsum("gab,gbc->gac", R_, s.R, precision=jax.lax.Precision.HIGHEST)

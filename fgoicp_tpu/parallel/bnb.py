@@ -190,12 +190,13 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
 def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,
                 max_iter: int = 100, convergence_threshold=0.005,
                 trim_keep=None, **kw):
-    """icp_batched with ICP lanes sharded over the cubes axis.
-
-    Both clouds are replicated (each lane needs full correspondences);
-    lanes are embarrassingly parallel so shards converge independently.
+    """icp_batched over the mesh: ICP lanes shard over the cubes axis
+    (embarrassingly parallel), and the TARGET cloud shards over the
+    points axis — correspondences resolve via a pmin distance vote and a
+    masked-psum gather (models/icp.py target_axis protocol).
     """
     n_cubes = mesh.shape[sh.CUBES_AXIS]
+    n_points = mesh.shape[sh.POINTS_AXIS]
     R0 = jnp.asarray(R0, jnp.float32)
     g = R0.shape[0]
     if active is None:
@@ -209,17 +210,30 @@ def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,
         R_p = R_p.at[g:].set(eye)
     act_p = act_p & (jnp.arange(gp) < g)
 
+    # Target padding rows sit far away so they never win the pmin vote.
+    pct = jnp.asarray(pct, jnp.float32)
+    nt = pct.shape[0]
+    ntp = sh.pad_to_multiple(nt, n_points)
+    if ntp != nt:
+        pct = jnp.concatenate(
+            [pct, jnp.full((ntp - nt, 3), 1e6, jnp.float32)])
+    target_axis = sh.POINTS_AXIS if n_points > 1 else None
+
     def local(pct_, pcs_, R_, t_, act_):
+        offset = None
+        if target_axis is not None:
+            offset = (jax.lax.axis_index(target_axis).astype(jnp.int32)
+                      * (ntp // n_points))
         return icp_model.icp_batched(
             pct_, pcs_, R_, t_, active=act_, max_iter=max_iter,
             convergence_threshold=convergence_threshold,
-            trim_keep=trim_keep, **kw)
+            trim_keep=trim_keep, target_axis=target_axis,
+            target_offset=offset, **kw)
 
     gspec = P(sh.CUBES_AXIS)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), gspec, gspec, gspec),
+        in_specs=(P(sh.POINTS_AXIS), P(), gspec, gspec, gspec),
         out_specs=(gspec, gspec, gspec), check_vma=False)
-    sse, R, t = fn(jnp.asarray(pct, jnp.float32),
-                   jnp.asarray(pcs, jnp.float32), R_p, t_p, act_p)
+    sse, R, t = fn(pct, jnp.asarray(pcs, jnp.float32), R_p, t_p, act_p)
     return sse[:g], R[:g], t[:g]

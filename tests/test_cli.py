@@ -10,7 +10,7 @@ from fgoicp_tpu.io import write_ply, read_ply_vertices
 from fgoicp_tpu.__main__ import run as cli_run
 
 
-def _make_pair(tmp_path, n=300, seed=0):
+def _make_pair(tmp_path, n=200, seed=0):
     rng = np.random.default_rng(seed)
     pct = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
     ang = 0.35
@@ -18,7 +18,7 @@ def _make_pair(tmp_path, n=300, seed=0):
                   [np.sin(ang), np.cos(ang), 0],
                   [0, 0, 1]], np.float32)
     t = np.array([0.1, -0.05, 0.2], np.float32)
-    pcs = pct[:200] @ R.T + t
+    pcs = pct[:120] @ R.T + t
     tgt = tmp_path / "target.ply"
     src = tmp_path / "source.ply"
     write_ply(str(tgt), pct)

@@ -5,7 +5,7 @@ import threading
 import numpy as np
 import pytest
 
-from util import test_engine
+from util import std_engine
 from fgoicp_tpu.models.goicp import GoICP
 from fgoicp_tpu.parallel import distributed as dist
 
@@ -22,22 +22,29 @@ def test_partition_root_covers_and_disjoint():
         np.testing.assert_allclose(vol, 8.0, rtol=1e-12)
 
 
-def _problem(seed=0, n=220, angle=2.1):
+def _surface_cloud(rng, n):
+    s = rng.uniform(0.0, 4.5, size=(n,))  # open curve: no self-symmetry
+    pts = np.stack([np.cos(s), 0.7 * np.sin(2.0 * s),
+                    0.4 * np.sin(3.0 * s + 0.5)], axis=1)
+    return (pts + rng.normal(scale=0.01, size=(n, 3))).astype(np.float32)
+
+
+def _problem(seed=0, n=150, angle=2.1):
     rng = np.random.default_rng(seed)
-    pct = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    pct = _surface_cloud(rng, n)
     c, s = np.cos(angle), np.sin(angle)
     R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     t = np.array([0.2, -0.1, 0.15], np.float32)
-    pcs = (pct[:140] - t) @ R
+    pcs = (pct[:100] - t) @ R
     return pct, pcs, R, t
 
 
-@pytest.mark.parametrize("n_hosts", [2, 3])
+@pytest.mark.parametrize("n_hosts", [2])
 def test_multihost_matches_single_host(n_hosts):
     pct, pcs, R_true, t_true = _problem()
-    eng = test_engine()
+    eng = std_engine()
 
-    single = GoICP(pct, pcs, mse_threshold=1e-4, engine=eng,
+    single = GoICP(pct, pcs, mse_threshold=5e-4, engine=eng,
                    bound_backend="exact")
     single.run()
 
@@ -49,8 +56,8 @@ def test_multihost_matches_single_host(n_hosts):
     def host(rank):
         try:
             m = dist.MultiHostGoICP(
-                pct, pcs, comms[rank], mse_threshold=1e-4,
-                engine=test_engine(),
+                pct, pcs, comms[rank], mse_threshold=5e-4,
+                engine=std_engine(),
                 bound_backend="exact")
             models[rank] = m
             results[rank] = m.run()
@@ -69,7 +76,7 @@ def test_multihost_matches_single_host(n_hosts):
     # Every host ends at the same global optimum as the single-host run.
     for m in models:
         assert m.best_sse <= single.best_sse * 1.01 + 1e-9
-        assert m.mse < 1e-4
+        assert m.mse < 5e-4
     for (R, t) in results:
         np.testing.assert_allclose(R, R_true, atol=2e-3)
         np.testing.assert_allclose(t, t_true, atol=2e-3)

@@ -10,13 +10,27 @@ import numpy as np
 import pytest
 
 from fgoicp_tpu.config import Config
-from util import test_engine
+from util import std_engine
 from fgoicp_tpu.models.goicp import GoICP, register
 
 
-def _make_problem(seed=0, n=250, angle=2.0):
+def _surface_cloud(rng, n, noise=0.01):
+    """Structured asymmetric cloud: real scans have surface structure, so
+    BnB bounds discriminate; uniform volume noise (and symmetric shapes
+    like spheres) are Go-ICP's worst case and made these tests 100x
+    slower."""
+    # 3D Lissajous curve: strongly asymmetric (no rotational ambiguity),
+    # structured like scan data -> BnB bounds discriminate fast.
+    s = rng.uniform(0.0, 4.5, size=(n,))  # open curve: no self-symmetry
+    pts = np.stack([np.cos(s), 0.7 * np.sin(2.0 * s),
+                    0.4 * np.sin(3.0 * s + 0.5)], axis=1)
+    pts = pts + rng.normal(scale=noise, size=(n, 3))
+    return pts.astype(np.float32)
+
+
+def _make_problem(seed=0, n=160, angle=2.0):
     rng = np.random.default_rng(seed)
-    pct = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    pct = _surface_cloud(rng, n)
     c, s = np.cos(angle), np.sin(angle)
     R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     t = np.array([0.2, -0.1, 0.15], np.float32)
@@ -28,11 +42,11 @@ class TestGoICP:
     @pytest.mark.parametrize("backend", ["exact", "proxy"])
     def test_recovers_large_rotation(self, backend):
         pct, pcs, R_true, t_true = _make_problem(angle=2.2)
-        model = GoICP(pct, pcs, mse_threshold=1e-4,
-                      engine=test_engine(),
+        model = GoICP(pct, pcs, mse_threshold=5e-4,
+                      engine=std_engine(),
                       bound_backend=backend, proxy_size=128)
         R, t = model.run()
-        assert model.mse < 1e-4
+        assert model.mse < 5e-4
         np.testing.assert_allclose(R, R_true, atol=1e-3)
         np.testing.assert_allclose(t, t_true, atol=1e-3)
         assert model.stats.translation_nodes > 0
@@ -44,8 +58,8 @@ class TestGoICP:
         pct, pcs, R_true, t_true = _make_problem(seed=1, angle=1.5)
         pct_w = pct * 37.0 + np.array([100.0, -50.0, 3.0], np.float32)
         pcs_w = pcs * 37.0 + np.array([-8.0, 2.0, 77.0], np.float32)
-        model = GoICP(pct_w, pcs_w, mse_threshold=1e-4,
-                      engine=test_engine(),
+        model = GoICP(pct_w, pcs_w, mse_threshold=5e-4,
+                      engine=std_engine(),
                       bound_backend="exact")
         R, t = model.run()
         mapped = pcs_w @ np.asarray(R).T + np.asarray(t)
@@ -55,7 +69,7 @@ class TestGoICP:
     def test_getters_match_reference_surface(self):
         pct, pcs, _, _ = _make_problem(seed=2, angle=0.3)
         model = GoICP(pct, pcs, mse_threshold=1e-3,
-                      engine=test_engine(),
+                      engine=std_engine(),
                       bound_backend="exact")
         model.run()
         err = model.get_best_error()
@@ -74,7 +88,7 @@ class TestGoICP:
                 np.savetxt(f, pc, fmt="%.6f")
         cfg = Config.from_dict({
             "io": {"target": str(tpath), "source": str(spath)},
-            "params": {"mse_threshold": 1e-4,
+            "params": {"mse_threshold": 5e-4,
                        "target_subsample": 1.0, "source_subsample": 0.5},
             "engine": {"rotation_batch": 2, "frontier_capacity": 512,
                        "pool_lanes": 256, "pool_capacity": 8192},
@@ -92,8 +106,8 @@ class TestGoICP:
         n_out = 40
         outliers = rng.uniform(-3, 3, size=(n_out, 3)).astype(np.float32)
         pcs_noisy = np.concatenate([pcs, outliers])
-        model = GoICP(pct, pcs_noisy, mse_threshold=1e-4,
-                      engine=test_engine(),
+        model = GoICP(pct, pcs_noisy, mse_threshold=5e-4,
+                      engine=std_engine(),
                       bound_backend="exact", trim_fraction=0.25)
         R, t = model.run()
         np.testing.assert_allclose(R, R_true, atol=0.05)

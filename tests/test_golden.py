@@ -10,7 +10,7 @@ import os
 import numpy as np
 import pytest
 
-from util import test_engine
+from util import std_engine
 from fgoicp_tpu.io import load_cloud
 from fgoicp_tpu.models.goicp import GoICP
 from fgoicp_tpu.models.icp import icp_register
@@ -58,10 +58,10 @@ def test_bunny_icp_slice():
 @needs_data
 def test_bunny_goicp_large_rotation():
     """Config 2: full BnB recovers a rotation plain ICP cannot."""
-    pct = load_cloud(BUNNY, 0.03, seed=1)
+    pct = load_cloud(BUNNY, 0.015, seed=1)
     pcs, R_true, t_true = _known_pair(
-        pct, 300, [0.05, 0.62, -0.1], [0.02, -0.01, 0.03])
-    m = GoICP(pct, pcs, mse_threshold=1e-4, engine=test_engine())
+        pct, 200, [0.05, 0.62, -0.1], [0.02, -0.01, 0.03])
+    m = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine())
     R, t = m.run()
     _assert_recovered(R, t, R_true, t_true, tol=2e-2)
     assert m.stats.rotation_children > 0  # BnB actually searched
@@ -70,11 +70,11 @@ def test_bunny_goicp_large_rotation():
 @needs_data
 def test_skull_binary_ply_goicp():
     """Config 3: artec3d skull (binary_le PLY, 98,359 pts header)."""
-    full = load_cloud(SKULL, 0.02, seed=2)
+    full = load_cloud(SKULL, 0.008, seed=2)
     assert len(full) > 500
     pcs, R_true, t_true = _known_pair(
-        full, 300, [-0.3, 0.2, 0.4], [5.0, -3.0, 2.0], seed=3)
-    m = GoICP(full, pcs, mse_threshold=1e-4, engine=test_engine())
+        full, 200, [-0.3, 0.2, 0.4], [5.0, -3.0, 2.0], seed=3)
+    m = GoICP(full, pcs, mse_threshold=5e-4, engine=std_engine())
     R, t = m.run()
     _assert_recovered(R, t, R_true, t_true, tol=2e-2)
 
@@ -82,14 +82,14 @@ def test_skull_binary_ply_goicp():
 @needs_data
 def test_dragon_trimmed_partial_overlap():
     """Config 4: dragon scan with outlier contamination + trimming."""
-    pct = load_cloud(DRAGON_A, 0.01, seed=4)
+    pct = load_cloud(DRAGON_A, 0.006, seed=4)
     pcs, R_true, t_true = _known_pair(
         pct, 250, [0.1, -0.45, 0.2], [0.05, 0.02, -0.04], seed=5)
     rng = np.random.default_rng(6)
     lo, hi = pcs.min(axis=0), pcs.max(axis=0)
     outliers = rng.uniform(lo - 0.1, hi + 0.1, size=(50, 3)).astype(np.float32)
     pcs_noisy = np.concatenate([pcs, outliers])
-    m = GoICP(pct, pcs_noisy, mse_threshold=1e-4, engine=test_engine(),
+    m = GoICP(pct, pcs_noisy, mse_threshold=5e-4, engine=std_engine(),
               trim_fraction=0.25)
     R, t = m.run()
     _assert_recovered(R, t, R_true, t_true, tol=5e-2)
