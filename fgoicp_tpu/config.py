@@ -100,6 +100,14 @@ class EngineConfig:
     lut_builder: str = "auto"       # auto | brute | edt
     lut_max_dim: int = 2048         # hard error above (registration.cu:191)
     lut_warn_dim: int = 1024        # warn above (registration.cu:195)
+    # Hierarchical source bounds: when > 0 and the source has more points,
+    # SEARCH-phase bound evaluation runs over this many weighted FPS
+    # clusters (coreset.SourceClusters) instead of every source point —
+    # O(K*P) instead of O(ns*P) per node, with the cluster radius folded
+    # into both bounds so validity is preserved.  ICP and incumbent SSE
+    # always use the full source.  Incompatible with trimming (disabled
+    # automatically).  0 = off.
+    source_coreset: int = 0
     # Parallel layout.
     mesh_cubes: int = 1             # devices along the rotation-cube axis
     mesh_points: int = 1            # devices sharding the source-point axis

@@ -113,6 +113,16 @@ class GoICP:
                 self.pct, kind=bound_backend, proxy_size=proxy_size,
                 seed=e.seed)
 
+        # Hierarchical source clusters for SEARCH bounds (config docstring).
+        self.src_clusters = None
+        if (e.source_coreset > 0 and self.ns > e.source_coreset
+                and self.trim_keep is None):
+            from ..ops import coreset as coreset_ops
+            self.src_clusters = coreset_ops.build_weighted(
+                self.pcs, size=e.source_coreset, seed=e.seed + 2)
+            log.debug(f"Source clusters: {e.source_coreset} reps, max "
+                      f"radius {float(jnp.max(self.src_clusters.deltas)):.4f}")
+
         # Multi-device mesh: rotation groups shard over `cubes`, source
         # points over `points` (parallel/sharding.py).  mesh=None keeps the
         # single-device fast path.
@@ -304,12 +314,18 @@ class GoICP:
                 capacity=e.frontier_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
         elif e.frontier_mode == "pooled":
+            if self.src_clusters is not None:
+                search_pcs = self.src_clusters.reps
+                pw, pd = self.src_clusters.weights, self.src_clusters.deltas
+            else:
+                search_pcs, pw, pd = self.pcs, None, None
             st = pool_frontier.bnb_r3_pooled(
-                self.backend, self.pcs, R2, spans2, fix2,
+                self.backend, search_pcs, R2, spans2, fix2,
                 jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
                 group_active=act2, min_span=e.translation_min_span,
                 lanes=e.pool_lanes, capacity=e.pool_capacity,
-                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
+                point_weights=pw, point_deltas=pd)
         else:
             st = frontier_ops.bnb_r3_batched(
                 self.backend, self.pcs, R2, spans2, fix2,

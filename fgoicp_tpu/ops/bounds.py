@@ -108,6 +108,37 @@ def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
     raise ValueError(f"Unknown bound backend: {kind}")
 
 
+def gamma_arrays(norms, rot_spans, fix_rot, ref_compat: bool = False,
+                 point_deltas=None):
+    """Per-(group, point) radii (gam_ub, gam_lb) subtracted from d in the
+    upper/lower bound terms.
+
+    Plain point sources: both equal the rotation uncertainty radius
+    (zeroed for fixed-rotation groups).  With weighted source clusters of
+    radius delta (coreset.SourceClusters), the true per-member distance
+    lies within +-delta of the representative's and the member norm
+    within +-delta, so
+        gam_ub = gamma(max(|q| - delta, 0)) - delta     (term overestimate)
+        gam_lb = gamma(|q| + delta) + delta             (term underestimate)
+    keep both bounds valid for the cluster sums.
+    """
+    spans = jnp.asarray(rot_spans, jnp.float32)[:, None]
+    fix = jnp.asarray(fix_rot)[:, None]
+    if point_deltas is None:
+        g = geo.rotation_uncertainty_radius(norms[None, :], spans,
+                                            ref_compat=ref_compat)
+        g = jnp.where(fix, 0.0, g)
+        return g, g
+    d = jnp.asarray(point_deltas, jnp.float32)[None, :]
+    g_min = geo.rotation_uncertainty_radius(
+        jnp.maximum(norms[None, :] - d, 0.0), spans, ref_compat=ref_compat)
+    g_max = geo.rotation_uncertainty_radius(
+        norms[None, :] + d, spans, ref_compat=ref_compat)
+    gam_ub = jnp.where(fix, 0.0, g_min) - d
+    gam_lb = jnp.where(fix, 0.0, g_max) + d
+    return gam_ub, gam_lb
+
+
 def distance_estimates(backend: Backend, queries):
     """(d_ub, d_lb) per query: d_lb <= d_target(q) <= d_ub."""
     if isinstance(backend, ProxyBackend):
@@ -131,7 +162,7 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                     t_spans, node_mask=None, ref_compat_gamma: bool = False,
                     trim_keep: Optional[int] = None,
                     points_axis: Optional[str] = None,
-                    point_weights=None):
+                    point_weights=None, point_deltas=None):
     """Evaluate lb/ub for a [G, B] grid of (rotation, translation) nodes.
 
     pcs:       [ns, 3] normalized source points.
@@ -154,16 +185,17 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
     if trim_keep is not None and (points_axis is not None
                                   or point_weights is not None):
         raise ValueError("trim_keep is not supported with point sharding")
+    if trim_keep is not None and point_deltas is not None:
+        raise ValueError("trim_keep is not supported with source clusters")
     pcs = jnp.asarray(pcs, jnp.float32)
     R = jnp.asarray(R, jnp.float32)
     norms = jnp.linalg.norm(pcs, axis=-1)  # [ns]
 
-    # gamma_r per (group, point); 0 where rotation is fixed
+    # Per-(group, point) radii; 0 where rotation is fixed
     # (registration.cu:36-44 + SURVEY quirk list for the ref-compat form).
-    gam_r = geo.rotation_uncertainty_radius(
-        norms[None, :], jnp.asarray(rot_spans)[:, None],
-        ref_compat=ref_compat_gamma)                      # [G, ns]
-    gam_r = jnp.where(jnp.asarray(fix_rot)[:, None], 0.0, gam_r)
+    gam_ub, gam_lb = gamma_arrays(norms, rot_spans, fix_rot,
+                                  ref_compat=ref_compat_gamma,
+                                  point_deltas=point_deltas)
     gam_t = geo.translation_uncertainty_radius(jnp.asarray(t_spans))  # [G, B]
 
     base = jnp.einsum("grc,nc->gnr", R, pcs,
@@ -172,18 +204,18 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
     if (isinstance(backend, ProxyBackend) and trim_keep is None
             and _use_fused_kernel()):
         lb, ub = pallas_bounds.fused_bounds(
-            base, t_centers, backend.coreset.points, gam_r, gam_t,
+            base, t_centers, backend.coreset.points, gam_ub, gam_t,
             backend.coreset.eps + jnp.float32(backend.eps_rank),
-            point_weights=point_weights,
+            point_weights=point_weights, gam_lb=gam_lb,
             interpret=(jax.default_backend() != "tpu"))
     else:
         q = base[:, None, :, :] \
             + jnp.asarray(t_centers, jnp.float32)[:, :, None, :]
         d_ub, d_lb = distance_estimates(backend, q)         # [G, B, ns]
 
-        ub_pt = jnp.square(jnp.maximum(d_ub - gam_r[:, None, :], 0.0))
+        ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[:, None, :], 0.0))
         lb_pt = jnp.square(jnp.maximum(
-            d_lb - gam_r[:, None, :] - gam_t[:, :, None], 0.0))
+            d_lb - gam_lb[:, None, :] - gam_t[:, :, None], 0.0))
         if point_weights is not None:
             w = jnp.asarray(point_weights, jnp.float32)[None, None, :]
             ub_pt = ub_pt * w

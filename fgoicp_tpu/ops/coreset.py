@@ -32,6 +32,23 @@ class ProxyCoreset(NamedTuple):
     eps: jnp.ndarray      # scalar covering radius (world units)
 
 
+class SourceClusters(NamedTuple):
+    """Weighted clustering of the SOURCE cloud for hierarchical bounds.
+
+    Each original source point is assigned to its nearest representative;
+    a cluster of m_k points with radius delta_k contributes
+        ub_k = m_k * relu(d(R q_k + t) + delta_k - gamma_min)^2
+        lb_k = m_k * relu(d(R q_k + t) - delta_k - gamma_max - ...)^2
+    — valid two-sided bounds on the cluster's true SSE contribution
+    (1-Lipschitz distance field + monotone rotation radius).  Shrinks the
+    per-node bound cost from O(ns * P) to O(K * P).
+    """
+
+    reps: jnp.ndarray     # [K, 3] representatives
+    weights: jnp.ndarray  # [K] member counts (float)
+    deltas: jnp.ndarray   # [K] cluster radii
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def farthest_point_sample(points, k: int, seed: int = 0):
     """Greedy farthest-point subsample: k indices maximizing min spacing.
@@ -52,6 +69,22 @@ def farthest_point_sample(points, k: int, seed: int = 0):
     idx0 = jnp.zeros((k,), jnp.int32).at[0].set(seed % n)
     mind2, idx = jax.lax.fori_loop(1, k, body, (init_mind2, idx0))
     return idx
+
+
+def build_weighted(points, size: int = 1024, seed: int = 0) -> SourceClusters:
+    """Cluster a source cloud: FPS representatives + nearest assignment."""
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    if n <= size:
+        return SourceClusters(points, jnp.ones((n,), jnp.float32),
+                              jnp.zeros((n,), jnp.float32))
+    idx = farthest_point_sample(points, size, seed)
+    reps = points[idx]
+    d2, assign = nn_ops.nearest_neighbor(points, reps)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    weights = jnp.zeros((size,), jnp.float32).at[assign].add(1.0)
+    deltas = jnp.zeros((size,), jnp.float32).at[assign].max(d)
+    return SourceClusters(reps, weights, deltas)
 
 
 def build(target, size: int = 4096, seed: int = 0) -> ProxyCoreset:

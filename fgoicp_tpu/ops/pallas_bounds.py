@@ -41,7 +41,8 @@ PT = 1024
 
 def _kernel(n_p_tiles):
     def kernel(base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
-               gam_r_ref, gam_t_ref, w_ref, slack_ref, lb_ref, ub_ref):
+               gam_ub_ref, gam_lb_ref, gam_t_ref, w_ref, slack_ref,
+               lb_ref, ub_ref):
         n = pl.program_id(2)
 
         @pl.when(n == 0)
@@ -67,12 +68,12 @@ def _kernel(n_p_tiles):
             m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
 
         d = jnp.sqrt(jnp.maximum(m, 0.0))                    # [1, NT]
-        gr = gam_r_ref[0]                                    # [1, NT]
         w = w_ref[:]                                         # [1, NT]
         gt = gam_t_ref[0, 0, 0, 0]
         slack = slack_ref[0, 0]
-        ub_pt = jnp.square(jnp.maximum(d - gr, 0.0))
-        lb_pt = jnp.square(jnp.maximum(d - slack - gr - gt, 0.0))
+        ub_pt = jnp.square(jnp.maximum(d - gam_ub_ref[0], 0.0))
+        lb_pt = jnp.square(jnp.maximum(
+            d - slack - gam_lb_ref[0] - gt, 0.0))
         ub_ref[0, 0, 0, 0] += jnp.sum(w * ub_pt)
         lb_ref[0, 0, 0, 0] += jnp.sum(w * lb_pt)
 
@@ -84,7 +85,8 @@ def _lane_kernel(n_p_tiles):
     gamma_t); the group id is scalar-prefetched so the lane's rotated base
     tile and gamma_r row are DMA'd via the index map."""
     def kernel(ids_ref, base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
-               gam_r_ref, gam_t_ref, w_ref, slack_ref, lb_ref, ub_ref):
+               gam_ub_ref, gam_lb_ref, gam_t_ref, w_ref, slack_ref,
+               lb_ref, ub_ref):
         n = pl.program_id(1)
 
         @pl.when(n == 0)
@@ -106,12 +108,12 @@ def _lane_kernel(n_p_tiles):
             m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
 
         d = jnp.sqrt(jnp.maximum(m, 0.0))
-        gr = gam_r_ref[0]                                    # [1, NT]
         w = w_ref[:]
         gt = gam_t_ref[0, 0, 0, 0]
         slack = slack_ref[0, 0]
-        ub_pt = jnp.square(jnp.maximum(d - gr, 0.0))
-        lb_pt = jnp.square(jnp.maximum(d - slack - gr - gt, 0.0))
+        ub_pt = jnp.square(jnp.maximum(d - gam_ub_ref[0], 0.0))
+        lb_pt = jnp.square(jnp.maximum(
+            d - slack - gam_lb_ref[0] - gt, 0.0))
         ub_ref[0, 0, 0] += jnp.sum(w * ub_pt)
         lb_ref[0, 0, 0] += jnp.sum(w * lb_pt)
 
@@ -119,19 +121,24 @@ def _lane_kernel(n_p_tiles):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_r, gam_t_lanes,
-                       slack, point_weights=None, interpret: bool = False):
+def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_ub, gam_t_lanes,
+                       slack, point_weights=None, interpret: bool = False,
+                       gam_lb=None):
     """lb, ub [L] for L independent lanes (the pooled-frontier hot op).
 
     base:        [G, ns, 3] rotated source per group (R_g @ p).
     gids:        [L] int32 group id per lane (selects base/gam_r rows).
     t_lanes:     [L, 3] translation per lane.
     proxies:     [P, 3] target proxy points.
-    gam_r:       [G, ns] rotation uncertainty per group (pre-zeroed rows
-                 for fixed-rotation groups).
+    gam_ub/gam_lb: [G, ns] per-point radii for the upper/lower bound terms
+                 (pre-zeroed rows for fixed-rotation groups; gam_lb
+                 defaults to gam_ub; they differ for weighted source
+                 coresets).
     gam_t_lanes: [L] translation uncertainty per lane.
     slack:       scalar distance slack for the lower bound.
     """
+    if gam_lb is None:
+        gam_lb = gam_ub
     g, ns, _ = base.shape
     lanes = gids.shape[0]
     w = (jnp.ones((ns,), jnp.float32) if point_weights is None
@@ -141,7 +148,8 @@ def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_r, gam_t_lanes,
                        2, NT)                                 # [G, 3, NSp]
     nsp = base_t.shape[2]
     w = _pad_axis(w, 0, NT)[None, :]                          # [1, NSp]
-    gam_r = _pad_axis(jnp.asarray(gam_r, jnp.float32), 1, NT)[:, None, :]
+    gam_ub = _pad_axis(jnp.asarray(gam_ub, jnp.float32), 1, NT)[:, None, :]
+    gam_lb = _pad_axis(jnp.asarray(gam_lb, jnp.float32), 1, NT)[:, None, :]
     prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
                        value=1e6)                             # [Pp, 3]
     n_p_tiles = prox_p.shape[0] // PT
@@ -165,7 +173,9 @@ def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_r, gam_t_lanes,
             pl.BlockSpec((prox_p.shape[0], 3), lambda l, n, ids: (0, 0),
                          memory_space=pltpu.VMEM),            # proxies
             pl.BlockSpec((1, 1, NT), lambda l, n, ids: (ids[l], 0, n),
-                         memory_space=pltpu.VMEM),            # gam_r
+                         memory_space=pltpu.VMEM),            # gam_ub
+            pl.BlockSpec((1, 1, NT), lambda l, n, ids: (ids[l], 0, n),
+                         memory_space=pltpu.VMEM),            # gam_lb
             smem_l(),                                         # gam_t
             pl.BlockSpec((1, NT), lambda l, n, ids: (0, n),
                          memory_space=pltpu.VMEM),            # weights
@@ -187,7 +197,8 @@ def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_r, gam_t_lanes,
         interpret=interpret,
     )(jnp.asarray(gids, jnp.int32),
       base_t, l111(t_lanes[:, 0]), l111(t_lanes[:, 1]), l111(t_lanes[:, 2]),
-      prox_p, gam_r, l111(jnp.asarray(gam_t_lanes, jnp.float32)), w,
+      prox_p, gam_ub, gam_lb,
+      l111(jnp.asarray(gam_t_lanes, jnp.float32)), w,
       jnp.full((1, 1), slack, jnp.float32))
     return lb[:, 0, 0], ub[:, 0, 0]
 
@@ -202,15 +213,21 @@ def _pad_axis(a, axis, size, value=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_bounds(base, t_centers, proxies, gam_r, gam_t, slack,
-                 point_weights=None, interpret: bool = False):
+def fused_bounds(base, t_centers, proxies, gam_ub, gam_t, slack,
+                 point_weights=None, interpret: bool = False,
+                 gam_lb=None):
     """lb, ub [G, B] for rotated source `base` [G, ns, 3] against proxy
     points [P, 3] over translation nodes t_centers [G, B, 3].
 
-    gam_r [G, ns] (0 where rotation fixed), gam_t [G, B], slack scalar
-    (lower-bound distance slack: covering radius + rank slack).
-    point_weights [ns] (0 marks padding); defaults to all-ones.
+    gam_ub/gam_lb [G, ns]: per-point radii subtracted from d in the upper
+    and lower bound terms respectively (identical for plain point
+    sources; they differ by the cluster radius for weighted source
+    coresets).  gam_lb defaults to gam_ub.  gam_t [G, B]; slack scalar
+    (lower-bound distance slack: covering radius + rank slack);
+    point_weights [ns] (0 marks padding, cluster multiplicity otherwise).
     """
+    if gam_lb is None:
+        gam_lb = gam_ub
     g, ns, _ = base.shape
     b = t_centers.shape[1]
     w = (jnp.ones((ns,), jnp.float32) if point_weights is None
@@ -222,7 +239,8 @@ def fused_bounds(base, t_centers, proxies, gam_r, gam_t, slack,
     nsp = base_t.shape[2]
     # Padding source lanes: weight 0 (their bound terms are masked out).
     w = _pad_axis(w, 0, NT)[None, :]                          # [1, NSp]
-    gam_r = _pad_axis(jnp.asarray(gam_r, jnp.float32), 1, NT)[:, None, :]
+    gam_ub = _pad_axis(jnp.asarray(gam_ub, jnp.float32), 1, NT)[:, None, :]
+    gam_lb = _pad_axis(jnp.asarray(gam_lb, jnp.float32), 1, NT)[:, None, :]
     # Padding proxies sit far away so they never win the min (kept finite
     # to avoid inf arithmetic).
     prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
@@ -255,7 +273,9 @@ def fused_bounds(base, t_centers, proxies, gam_r, gam_t, slack,
             pl.BlockSpec((prox_p.shape[0], 3), lambda i, j, n: (0, 0),
                          memory_space=pltpu.VMEM),            # proxies
             pl.BlockSpec((1, 1, NT), lambda i, j, n: (i, 0, n),
-                         memory_space=pltpu.VMEM),            # gam_r
+                         memory_space=pltpu.VMEM),            # gam_ub
+            pl.BlockSpec((1, 1, NT), lambda i, j, n: (i, 0, n),
+                         memory_space=pltpu.VMEM),            # gam_lb
             smem_gb(),                                        # gam_t
             pl.BlockSpec((1, NT), lambda i, j, n: (0, n),
                          memory_space=pltpu.VMEM),            # weights
@@ -270,7 +290,7 @@ def fused_bounds(base, t_centers, proxies, gam_r, gam_t, slack,
         ],
         out_shape=out_shape,
         interpret=interpret,
-    )(base_t, gb11(tx), gb11(ty), gb11(tz), prox_p, gam_r,
+    )(base_t, gb11(tx), gb11(ty), gb11(tz), prox_p, gam_ub, gam_lb,
       gb11(jnp.asarray(gam_t, jnp.float32)), w,
       jnp.full((1, 1), slack, jnp.float32))
     return lb[:, :, 0, 0], ub[:, :, 0, 0]

@@ -57,15 +57,14 @@ class PoolState(NamedTuple):
     dropped: jnp.ndarray    # scalar int32 (pool-overflow losses)
 
 
-def _eval_lanes_xla(backend, base, gids, t_lanes, gam_r, gam_t_lanes,
-                    point_weights, trim_keep):
+def _eval_lanes_xla(backend, base, gids, t_lanes, gam_ub, gam_lb,
+                    gam_t_lanes, point_weights, trim_keep):
     """XLA fallback lane evaluator (CPU tests, LUT backend, trimming)."""
     q = base[gids] + t_lanes[:, None, :]                     # [L, ns, 3]
     d_ub, d_lb = bounds_ops.distance_estimates(backend, q)   # [L, ns]
-    gr = gam_r[gids]                                         # [L, ns]
-    ub_pt = jnp.square(jnp.maximum(d_ub - gr, 0.0))
+    ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[gids], 0.0))
     lb_pt = jnp.square(jnp.maximum(
-        d_lb - gr - gam_t_lanes[:, None], 0.0))
+        d_lb - gam_lb[gids] - gam_t_lanes[:, None], 0.0))
     if point_weights is not None:
         ub_pt = ub_pt * point_weights[None, :]
         lb_pt = lb_pt * point_weights[None, :]
@@ -85,7 +84,7 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
                   trim_keep: Optional[int] = None,
                   points_axis=None, lockstep_axes=(),
                   use_kernel: Optional[bool] = None,
-                  point_weights=None):
+                  point_weights=None, point_deltas=None):
     """Pool-scheduled equivalent of frontier.bnb_r3_batched.
 
     Same arguments and result contract (per-group best_ub/best_t/...),
@@ -106,10 +105,9 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
     base = jnp.einsum("grc,nc->gnr", R, pcs,
                       precision=jax.lax.Precision.HIGHEST)   # [G, ns, 3]
     norms = jnp.linalg.norm(pcs, axis=-1)
-    gam_r = geo.rotation_uncertainty_radius(
-        norms[None, :], jnp.asarray(rot_spans, jnp.float32)[:, None],
-        ref_compat=ref_compat_gamma)                         # [G, ns]
-    gam_r = jnp.where(jnp.asarray(fix_rot)[:, None], 0.0, gam_r)
+    gam_ub, gam_lb = bounds_ops.gamma_arrays(
+        norms, rot_spans, fix_rot, ref_compat=ref_compat_gamma,
+        point_deltas=point_deltas)                           # [G, ns] x2
     if use_kernel:
         slack = backend.coreset.eps + jnp.float32(backend.eps_rank)
 
@@ -157,12 +155,12 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
 
         if use_kernel:
             lb_e, ub_e = pallas_bounds.fused_bounds_lanes(
-                base, pop_gid, pop_c, backend.coreset.points, gam_r,
+                base, pop_gid, pop_c, backend.coreset.points, gam_ub,
                 gam_t_l, slack, point_weights=point_weights,
-                interpret=(jax.default_backend() != "tpu"))
+                gam_lb=gam_lb, interpret=(jax.default_backend() != "tpu"))
         else:
             lb_e, ub_e = _eval_lanes_xla(
-                backend, base, pop_gid, pop_c, gam_r, gam_t_l,
+                backend, base, pop_gid, pop_c, gam_ub, gam_lb, gam_t_l,
                 point_weights, trim_keep)
         if points_axis is not None:
             lb_e = jax.lax.psum(lb_e, points_axis)
