@@ -16,11 +16,14 @@ Pipeline parity with FastGoICP (/root/reference/fgoicp/fgoicp.{hpp,cpp}):
 TPU-native redesign: the outer priority queue stays on host (cheap,
 sequential by nature) but each outer step pops a BATCH of rotation nodes
 and evaluates all their children's inner searches in ONE device call —
-ub-pass and lb-pass lanes run together in a lockstep jitted while_loop
-(ops/frontier.py), and all triggered ICPs run as one batched masked ICP
+ub-pass and lb-pass groups share a pooled global frontier inside a
+jitted while_loop (ops/pool_frontier.py; per-group lockstep mode in
+ops/frontier.py), and triggered ICPs run as width-compacted batched ICP
 (models/icp.py).  This replaces the reference's thousands of small kernel
 launches over a 32-stream pool with a handful of large fused device steps
-per outer iteration.
+per outer iteration.  Optional extras beyond the reference: multi-start
+incumbent seeding, hierarchical source-cluster bounds, checkpoint/resume,
+and mesh sharding (parallel/).
 
 Deviation from the reference's sequential semantics: within one outer
 batch, all children see the incumbent from the start of the step (the

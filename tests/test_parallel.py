@@ -71,6 +71,34 @@ def test_icp_sharded_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_goicp_on_mesh_pooled():
+    """Full GoICP with a (cubes, points) mesh: pooled-sharded inner BnB +
+    target-sharded ICP end-to-end."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from util import std_engine
+    from fgoicp_tpu.models.goicp import GoICP
+    rng = np.random.default_rng(11)
+    s = rng.uniform(0.0, 4.5, size=(150,))
+    pct = np.stack([np.cos(s), 0.7 * np.sin(2 * s),
+                    0.4 * np.sin(3 * s + 0.5)], axis=1)
+    pct = (pct + rng.normal(scale=0.01, size=(150, 3))).astype(np.float32)
+    ang = 2.0
+    c, s0 = np.cos(ang), np.sin(ang)
+    R_true = np.array([[c, -s0, 0], [s0, c, 0], [0, 0, 1]], np.float32)
+    t_true = np.array([0.2, -0.1, 0.15], np.float32)
+    pcs = (pct[:100] - t_true) @ R_true
+    mesh = psh.make_mesh(4, 2)
+    m = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+              bound_backend="exact", mesh=mesh)
+    R, t = m.run()
+    np.testing.assert_allclose(R, R_true, atol=2e-3)
+    np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert m.stats.translation_nodes > 0
+
+
 def test_graft_entry_and_dryrun():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
