@@ -95,6 +95,15 @@ class GoICP:
         e = self.engine
         pct = np.asarray(pct, np.float32)
         pcs = np.asarray(pcs, np.float32)
+        for name, pc in (("target", pct), ("source", pcs)):
+            if pc.ndim != 2 or pc.shape[1] != 3:
+                raise ValueError(
+                    f"{name} cloud must be [N, 3], got {pc.shape}")
+            if pc.shape[0] < 3:
+                raise ValueError(
+                    f"{name} cloud needs at least 3 points, got {pc.shape[0]}")
+            if not np.all(np.isfinite(pc)):
+                raise ValueError(f"{name} cloud contains NaN/inf values")
         self.ns, self.nt = len(pcs), len(pct)
         self.norm = geo.Normalization(pct, pcs)
         self.pct = self.norm.pct   # normalized target, on device

@@ -13,23 +13,30 @@ import jax.numpy as jnp
 
 
 def _polar_orthogonal(m, iters: int = 9):
-    """Orthogonal polar factor of [..., 3, 3] via Newton iteration
-    X <- (X + X^-T) / 2.
+    """Orthogonal polar factor of [..., 3, 3] via determinant-scaled
+    Newton iteration X <- (z X + (z X)^-T) / 2, z = |det X|^(-1/3).
 
     Quadratically convergent and far more accurate in float32 than XLA's
     general SVD (measured ~2e-7 vs ~6e-3 max elementwise error on random
-    Kabsch problems), with only 3x3 inverses — ideal for TPU.
+    Kabsch problems), with only 3x3 inverses — ideal for TPU.  The
+    determinant scaling makes convergence near-immune to conditioning
+    (plain Newton needs ~1 extra iteration per decade of singular-value
+    spread — degenerate/collinear correspondences diverged in 9 rounds).
     """
     norm = jnp.linalg.norm(m, axis=(-2, -1), keepdims=True)
     x = m / jnp.maximum(norm, 1e-30)
-    # Guard exactly-singular inputs (degenerate correspondences) with a
-    # small ridge so inv() stays finite; the result is still orthogonal.
+    # Guard rank-deficient inputs (degenerate correspondences) with a
+    # ridge so inv() stays finite; the result is still orthogonal.
     det = jnp.linalg.det(x)
     eye = jnp.eye(3, dtype=x.dtype)
-    x = jnp.where((jnp.abs(det) < 1e-9)[..., None, None], x + 1e-4 * eye, x)
+    x = jnp.where((jnp.abs(det) < 1e-6)[..., None, None], x + 1e-3 * eye, x)
     for _ in range(iters):
-        xit = jnp.swapaxes(jnp.linalg.inv(x), -1, -2)
-        x = 0.5 * (x + xit)
+        det = jnp.abs(jnp.linalg.det(x))
+        z = jnp.clip(det, 1e-12, None) ** (-1.0 / 3.0)
+        z = jnp.clip(z, 1e-3, 1e6)[..., None, None]
+        zx = z * x
+        xit = jnp.swapaxes(jnp.linalg.inv(zx), -1, -2)
+        x = 0.5 * (zx + xit)
     return x
 
 
