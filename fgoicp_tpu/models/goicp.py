@@ -331,13 +331,18 @@ class GoICP:
                 pw, pd = self.src_clusters.weights, self.src_clusters.deltas
             else:
                 search_pcs, pw, pd = self.pcs, None, None
+            # Each lb-pass group [g:2g) may adopt its fixed-rotation twin's
+            # incumbent (relaxed objective <= fixed objective pointwise).
+            share = jnp.concatenate([
+                jnp.full((g,), -1, jnp.int32),
+                jnp.arange(g, dtype=jnp.int32)])
             st = pool_frontier.bnb_r3_pooled(
                 self.backend, search_pcs, R2, spans2, fix2,
                 jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
                 group_active=act2, min_span=e.translation_min_span,
                 lanes=e.pool_lanes, capacity=e.pool_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
-                point_weights=pw, point_deltas=pd)
+                point_weights=pw, point_deltas=pd, err_share_from=share)
         else:
             st = frontier_ops.bnb_r3_batched(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -348,7 +353,16 @@ class GoICP:
 
         ub = np.asarray(st.best_ub[:g])[:n]
         best_t = np.asarray(st.best_t[:g])[:n]
-        lb = np.asarray(st.best_ub[g:])[:n]
+        # Rotation lb = the lb-pass result.  min(achieved, pruning
+        # incumbent): at gap termination best_err <= relaxed_min +
+        # sse_threshold, so this keeps the reference's threshold-slack
+        # guarantee even when twin err-sharing ends a search early
+        # (pool_frontier err_share_from).
+        if hasattr(st, "best_err"):
+            lb = np.asarray(
+                jnp.minimum(st.best_ub[g:], st.best_err[g:]))[:n]
+        else:
+            lb = np.asarray(st.best_ub[g:])[:n]
         self.stats.translation_nodes += int(np.asarray(st.evaluated).sum())
         self.stats.inner_loop_steps += int(st.steps)
         self.stats.dropped_nodes += int(np.asarray(st.dropped).sum())

@@ -84,13 +84,20 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
                   trim_keep: Optional[int] = None,
                   points_axis=None, lockstep_axes=(),
                   use_kernel: Optional[bool] = None,
-                  point_weights=None, point_deltas=None):
+                  point_weights=None, point_deltas=None,
+                  err_share_from=None):
     """Pool-scheduled equivalent of frontier.bnb_r3_batched.
 
     Same arguments and result contract (per-group best_ub/best_t/...),
     plus `lanes` (device width per step) and pool `capacity`.
     `use_kernel=None` auto-selects the Pallas lane kernel on TPU for
     proxy backends without trimming.
+
+    err_share_from [G] int32 (optional): index of a group whose incumbent
+    validly upper-bounds this group's objective (-1 = none).  The engine
+    points each gamma-relaxed lb-pass group at its fixed-rotation twin:
+    relu(d - gamma_r)^2 <= d^2 pointwise, so the twin's incumbent prunes
+    the relaxed search too.
     """
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
@@ -178,6 +185,11 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         improve = s.active & (grp_min_ub < s.best_err)
         best_err = jnp.where(improve, grp_min_ub, s.best_err)
         best_t = jnp.where(improve[:, None], pop_c[grp_arg], s.best_t)
+        if err_share_from is not None:
+            share = jnp.asarray(err_share_from, jnp.int32)
+            donor = best_err[jnp.maximum(share, 0)]
+            best_err = jnp.where(share >= 0,
+                                 jnp.minimum(best_err, donor), best_err)
 
         # Children inherit the evaluated lb (fgoicp.cpp:159-166).
         split = lane_valid & (lb_e < best_err[pop_gid]) & (pop_s >= min_span)
