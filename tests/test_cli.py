@@ -61,6 +61,34 @@ pool_capacity = 8192
     assert aligned.shape[1] == 3 and len(aligned) > 0
 
 
+def test_cli_resume_roundtrip(tmp_path):
+    """--resume picks up the checkpoint written by a prior run."""
+    tgt, src, R_true, t_true = _make_pair(tmp_path, seed=4)
+    ckpt = tmp_path / "bnb.npz"
+    cfg = tmp_path / "run.toml"
+    cfg.write_text(f"""
+[io]
+target = "{tgt}"
+source = "{src}"
+
+[params]
+source_subsample = 0.5
+mse_threshold = 1e-4
+
+[engine]
+rotation_batch = 2
+frontier_capacity = 512
+pool_lanes = 256
+pool_capacity = 8192
+icp_multi_start = false
+checkpoint_path = "{ckpt}"
+checkpoint_every = 1
+""")
+    assert cli_run(["-c", str(cfg)]) == 0
+    if ckpt.exists():  # a search ran and checkpointed
+        assert cli_run(["-c", str(cfg), "--resume"]) == 0
+
+
 def test_cli_requires_config():
     with pytest.raises(SystemExit):
         cli_run([])
