@@ -60,6 +60,20 @@ def test_pooled_respects_inactive_groups():
     assert np.all(ev[np.asarray(act)] > 0)
 
 
+def test_pooled_deterministic():
+    """Same inputs -> bitwise-identical search results (determinism is a
+    feature; the reference's runs aren't even repeatable, SURVEY §2 row 3)."""
+    backend, pcs, R, spans, fix = _problem(seed=3)
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    a = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=2048)
+    b = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=2048)
+    np.testing.assert_array_equal(np.asarray(a.best_ub), np.asarray(b.best_ub))
+    np.testing.assert_array_equal(np.asarray(a.best_t), np.asarray(b.best_t))
+    np.testing.assert_array_equal(np.asarray(a.evaluated),
+                                  np.asarray(b.evaluated))
+    assert int(a.steps) == int(b.steps)
+
+
 def test_pooled_trimmed_bounds():
     backend, pcs, R, spans, fix = _problem(seed=2)
     ns = pcs.shape[0]
