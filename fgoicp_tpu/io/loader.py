@@ -62,7 +62,11 @@ def load_cloud(path: str, subsample: float = 1.0, seed: int = 0) -> np.ndarray:
     """Load a cloud and subsample it. Returns float32 [N, 3]."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
-        pts = ply_mod.read_ply_vertices(path)
+        pts = None
+        if _native_loader is not None:
+            pts = _native_loader.load_ply(path)
+        if pts is None:
+            pts = ply_mod.read_ply_vertices(path)
     elif ext == ".txt":
         pts = load_cloud_txt(path)
     else:

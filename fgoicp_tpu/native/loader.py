@@ -31,8 +31,11 @@ def _load():
                                         ctypes.POINTER(ctypes.c_int64)]
         lib.fgoicp_free.restype = None
         lib.fgoicp_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.fgoicp_load_ply.restype = ctypes.POINTER(ctypes.c_float)
+        lib.fgoicp_load_ply.argtypes = [ctypes.c_char_p,
+                                        ctypes.POINTER(ctypes.c_int64)]
         lib.fgoicp_native_abi.restype = ctypes.c_int32
-        if lib.fgoicp_native_abi() != 1:
+        if lib.fgoicp_native_abi() != 2:
             return None
         _lib = lib
         return lib
@@ -40,13 +43,12 @@ def _load():
         return None
 
 
-def load_txt(path: str):
-    """Parse a first-line-count TXT cloud natively; None on any failure."""
+def _call(fn_name: str, path: str):
     lib = _load()
     if lib is None:
         return None
     n = ctypes.c_int64(0)
-    ptr = lib.fgoicp_load_txt(path.encode(), ctypes.byref(n))
+    ptr = getattr(lib, fn_name)(path.encode(), ctypes.byref(n))
     if not ptr:
         return None
     try:
@@ -54,3 +56,14 @@ def load_txt(path: str):
         return np.array(flat, dtype=np.float32).reshape(n.value, 3)
     finally:
         lib.fgoicp_free(ptr)
+
+
+def load_txt(path: str):
+    """Parse a first-line-count TXT cloud natively; None on any failure."""
+    return _call("fgoicp_load_txt", path)
+
+
+def load_ply(path: str):
+    """Parse an ascii/binary_le PLY natively; None on unsupported variants
+    (big-endian, list vertex props) — callers fall back to Python."""
+    return _call("fgoicp_load_ply", path)

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+// (vector/string power the PLY header parser below)
 
 namespace {
 
@@ -78,7 +79,161 @@ float* fgoicp_load_txt(const char* path, int64_t* n_out) {
 
 void fgoicp_free(float* ptr) { std::free(ptr); }
 
+namespace {
+
+struct Prop {
+  std::string name;
+  int size;       // bytes (binary)
+  bool is_double;
+  bool is_float;
+};
+
+// Returns nullptr for anything exotic (list props before/on vertex,
+// unknown types) — the Python parser handles those.
+float* load_ply_impl(const std::string& buf, int64_t* n_out) {
+  size_t pos = 0;
+  auto next_line = [&](std::string* line) -> bool {
+    if (pos >= buf.size()) return false;
+    size_t end = buf.find('\n', pos);
+    if (end == std::string::npos) end = buf.size();
+    *line = buf.substr(pos, end - pos);
+    if (!line->empty() && line->back() == '\r') line->pop_back();
+    pos = end + 1;
+    return true;
+  };
+  std::string line;
+  if (!next_line(&line) || line != "ply") return nullptr;
+
+  static const struct { const char* n; int s; } kTypes[] = {
+      {"char", 1}, {"int8", 1}, {"uchar", 1}, {"uint8", 1},
+      {"short", 2}, {"int16", 2}, {"ushort", 2}, {"uint16", 2},
+      {"int", 4}, {"int32", 4}, {"uint", 4}, {"uint32", 4},
+      {"float", 4}, {"float32", 4}, {"double", 8}, {"float64", 8}};
+  auto type_size = [&](const std::string& t) -> int {
+    for (auto& k : kTypes) if (t == k.n) return k.s;
+    return -1;
+  };
+
+  bool binary = false, ascii = false;
+  // Elements in file order: (name, count, props, has_list)
+  struct Elem { std::string name; long long count; std::vector<Prop> props;
+                bool has_list = false; };
+  std::vector<Elem> elems;
+  while (next_line(&line)) {
+    if (line.rfind("comment", 0) == 0 || line.rfind("obj_info", 0) == 0)
+      continue;
+    if (line == "end_header") break;
+    char a[64] = {0}, b[64] = {0}, c[64] = {0}, d[64] = {0};
+    if (std::sscanf(line.c_str(), "%63s %63s %63s %63s", a, b, c, d) < 1)
+      return nullptr;
+    std::string kw = a;
+    if (kw == "format") {
+      if (std::string(b) == "ascii") ascii = true;
+      else if (std::string(b) == "binary_little_endian") binary = true;
+      else return nullptr;  // big-endian -> Python path
+    } else if (kw == "element") {
+      Elem e; e.name = b; e.count = std::strtoll(c, nullptr, 10);
+      elems.push_back(e);
+    } else if (kw == "property") {
+      if (elems.empty()) return nullptr;
+      if (std::string(b) == "list") { elems.back().has_list = true; continue; }
+      int sz = type_size(b);
+      if (sz < 0) return nullptr;
+      Prop p{d[0] ? std::string(c) : std::string(c), sz,
+             std::string(b) == "double" || std::string(b) == "float64",
+             std::string(b) == "float" || std::string(b) == "float32"};
+      elems.back().props.push_back(p);
+    } else {
+      return nullptr;
+    }
+  }
+  if (!(binary || ascii)) return nullptr;
+
+  for (auto& e : elems) {
+    if (e.name == "vertex") {
+      if (e.has_list) return nullptr;
+      int ix = -1, iy = -1, iz = -1;
+      long long stride = 0, offx = 0, offy = 0, offz = 0;
+      for (size_t i = 0; i < e.props.size(); ++i) {
+        const Prop& pr = e.props[i];
+        if (pr.name == "x") { ix = (int)i; offx = stride; }
+        if (pr.name == "y") { iy = (int)i; offy = stride; }
+        if (pr.name == "z") { iz = (int)i; offz = stride; }
+        stride += pr.size;
+      }
+      if (ix < 0 || iy < 0 || iz < 0) return nullptr;
+      if (!(e.props[ix].is_double || e.props[ix].is_float)) return nullptr;
+      float* data =
+          static_cast<float*>(std::malloc(sizeof(float) * 3 * e.count));
+      if (!data) return nullptr;
+      if (binary) {
+        if (pos + stride * e.count > buf.size()) { std::free(data); return nullptr; }
+        const char* base = buf.data() + pos;
+        bool dbl = e.props[ix].is_double;
+        for (long long r = 0; r < e.count; ++r) {
+          const char* row = base + r * stride;
+          if (dbl) {
+            double vx, vy, vz;
+            std::memcpy(&vx, row + offx, 8);
+            std::memcpy(&vy, row + offy, 8);
+            std::memcpy(&vz, row + offz, 8);
+            data[r * 3 + 0] = (float)vx;
+            data[r * 3 + 1] = (float)vy;
+            data[r * 3 + 2] = (float)vz;
+          } else {
+            std::memcpy(&data[r * 3 + 0], row + offx, 4);
+            std::memcpy(&data[r * 3 + 1], row + offy, 4);
+            std::memcpy(&data[r * 3 + 2], row + offz, 4);
+          }
+        }
+      } else {
+        const char* p = buf.c_str() + pos;
+        char* end = nullptr;
+        int np = (int)e.props.size();
+        for (long long r = 0; r < e.count; ++r) {
+          for (int cix = 0; cix < np; ++cix) {
+            float v = std::strtof(p, &end);
+            if (end == p) { std::free(data); return nullptr; }
+            p = end;
+            if (cix == ix) data[r * 3 + 0] = v;
+            if (cix == iy) data[r * 3 + 1] = v;
+            if (cix == iz) data[r * 3 + 2] = v;
+          }
+        }
+      }
+      *n_out = e.count;
+      return data;
+    }
+    // Skip a non-vertex element.
+    if (e.has_list) return nullptr;  // variable rows -> Python path
+    long long stride = 0;
+    for (auto& pr : e.props) stride += pr.size;
+    if (binary) {
+      pos += (size_t)(stride * e.count);
+      if (pos > buf.size()) return nullptr;
+    } else {
+      for (long long r = 0; r < e.count; ++r) {
+        size_t nl = buf.find('\n', pos);
+        if (nl == std::string::npos) return nullptr;
+        pos = nl + 1;
+      }
+    }
+  }
+  return nullptr;  // no vertex element
+}
+
+}  // namespace
+
+// Parse a PLY cloud (ascii / binary_little_endian, scalar vertex props).
+// Returns nullptr for unsupported variants (caller falls back to Python).
+float* fgoicp_load_ply(const char* path, int64_t* n_out) {
+  *n_out = 0;
+  std::string buf;
+  if (!read_file(path, &buf)) return nullptr;
+  return load_ply_impl(buf, n_out);
+}
+
 // ABI version so the Python side can detect stale builds.
-int32_t fgoicp_native_abi() { return 1; }
+int32_t fgoicp_native_abi() { return 2; }
 
 }  // extern "C"

@@ -43,6 +43,48 @@ def test_txt_extra_columns_ignored(lib, tmp_path):
         pts, np.array([[1, 2, 3], [4, 5, 6]], np.float32))
 
 
+def test_ply_matches_python_ascii_and_binary(lib, tmp_path):
+    from fgoicp_tpu.io import ply as plymod
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(123, 3)).astype(np.float32)
+    for binary in (True, False):
+        p = tmp_path / f"c_{binary}.ply"
+        plymod.write_ply(str(p), pts, binary=binary)
+        native = nloader.load_ply(str(p))
+        assert native is not None
+        np.testing.assert_array_equal(
+            native, plymod.read_ply_vertices(str(p)))
+
+
+def test_ply_extra_props_and_skipped_elements(lib, tmp_path):
+    from fgoicp_tpu.io import ply as plymod
+    p = tmp_path / "x.ply"
+    p.write_bytes(
+        b"ply\nformat ascii 1.0\ncomment hi\n"
+        b"element vertex 2\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property uchar red\n"
+        b"end_header\n1 2 3 9\n4 5 6 9\n")
+    native = nloader.load_ply(str(p))
+    np.testing.assert_array_equal(
+        native, np.array([[1, 2, 3], [4, 5, 6]], np.float32))
+
+
+def test_ply_unsupported_falls_back(lib, tmp_path):
+    # big-endian -> native returns None, Python path handles it.
+    rec = np.zeros(1, dtype=[("x", ">f4"), ("y", ">f4"), ("z", ">f4")])
+    rec["x"], rec["y"], rec["z"] = 1, 2, 3
+    p = tmp_path / "be.ply"
+    p.write_bytes(
+        b"ply\nformat binary_big_endian 1.0\nelement vertex 1\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"end_header\n" + rec.tobytes())
+    assert nloader.load_ply(str(p)) is None
+    from fgoicp_tpu.io import loader as io_loader
+    np.testing.assert_allclose(io_loader.load_cloud(str(p)),
+                               [[1, 2, 3]])
+
+
 def test_malformed_returns_none(lib, tmp_path):
     p = tmp_path / "bad.txt"
     p.write_text("5\n1 2 3\n")  # claims 5 rows, has 1
