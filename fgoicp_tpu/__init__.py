@@ -8,6 +8,11 @@ TPU-first (device frontiers, batched bound kernels, mesh sharding).
 
 __version__ = "0.1.0"
 
+__all__ = [
+    "Config", "EngineConfig", "FastGoICP", "GoICP", "icp_register",
+    "load_cloud", "read_ply_vertices", "register", "write_ply",
+]
+
 import os as _os
 
 import jax as _jax
@@ -25,3 +30,12 @@ if not _os.environ.get("FGOICP_TPU_NO_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
+
+
+from .config import Config, EngineConfig  # noqa: E402
+from .io import load_cloud, read_ply_vertices, write_ply  # noqa: E402
+from .models.goicp import GoICP, register  # noqa: E402
+from .models.icp import icp_register  # noqa: E402
+
+# Reference-familiar alias (icp::FastGoICP, /root/reference/fgoicp/fgoicp.hpp:10).
+FastGoICP = GoICP
