@@ -99,6 +99,18 @@ class TestGoICP:
         np.testing.assert_allclose(R, R_true, atol=5e-3)
         np.testing.assert_allclose(t, t_true, atol=5e-3)
 
+    def test_ref_compat_gamma_mode(self):
+        # The reference's rotation-radius variant (squared norm, unclamped
+        # half-angle, registration.cu:39-43) must work through the whole
+        # pipeline, not just the formula test.
+        pct, pcs, R_true, t_true = _make_problem(seed=6, angle=2.1)
+        model = GoICP(pct, pcs, mse_threshold=5e-4,
+                      engine=std_engine(ref_compat_gamma=True),
+                      bound_backend="exact")
+        R, t = model.run()
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-3)
+
     def test_trimmed_registration_with_outliers(self):
         # 20% of source points are garbage; trimming must still recover.
         pct, pcs, R_true, t_true = _make_problem(seed=4, angle=1.8, n=200)
