@@ -101,6 +101,10 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
     """
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
+    if capacity < g:
+        raise ValueError(
+            f"pool capacity {capacity} < {g} groups: root nodes would be "
+            f"dropped and their searches would never terminate")
     pcs = jnp.asarray(pcs, jnp.float32)
     if group_active is None:
         group_active = jnp.ones((g,), bool)
