@@ -309,14 +309,26 @@ class GoICP:
         R, R2, spans2, fix2, act2 = self._prep_children(
             jnp.asarray(arr), n, g)
 
+        if self.src_clusters is not None:
+            search_pcs = self.src_clusters.reps
+            pw, pd = self.src_clusters.weights, self.src_clusters.deltas
+        else:
+            search_pcs, pw, pd = self.pcs, None, None
+        # Each lb-pass group [g:2g) may adopt its fixed-rotation twin's
+        # incumbent (relaxed objective <= fixed objective pointwise).
+        share = jnp.concatenate([
+            jnp.full((g,), -1, jnp.int32),
+            jnp.arange(g, dtype=jnp.int32)])
+
         if self.mesh is not None and e.frontier_mode == "pooled":
             st = pbnb.bnb_r3_pooled_sharded(
-                self.backend, self.pcs, R2, spans2, fix2,
+                self.backend, search_pcs, R2, spans2, fix2,
                 jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
                 mesh=self.mesh, group_active=act2,
                 min_span=e.translation_min_span, lanes=e.pool_lanes,
                 capacity=e.pool_capacity,
-                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
+                ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
+                point_weights=pw, point_deltas=pd, err_share_from=share)
         elif self.mesh is not None:
             st = pbnb.bnb_r3_sharded(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -326,16 +338,6 @@ class GoICP:
                 capacity=e.frontier_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
         elif e.frontier_mode == "pooled":
-            if self.src_clusters is not None:
-                search_pcs = self.src_clusters.reps
-                pw, pd = self.src_clusters.weights, self.src_clusters.deltas
-            else:
-                search_pcs, pw, pd = self.pcs, None, None
-            # Each lb-pass group [g:2g) may adopt its fixed-rotation twin's
-            # incumbent (relaxed objective <= fixed objective pointwise).
-            share = jnp.concatenate([
-                jnp.full((g,), -1, jnp.int32),
-                jnp.arange(g, dtype=jnp.int32)])
             st = pool_frontier.bnb_r3_pooled(
                 self.backend, search_pcs, R2, spans2, fix2,
                 jnp.float32(self.best_sse), jnp.float32(self.sse_threshold),
@@ -357,12 +359,19 @@ class GoICP:
         # incumbent): at gap termination best_err <= relaxed_min +
         # sse_threshold, so this keeps the reference's threshold-slack
         # guarantee even when twin err-sharing ends a search early
-        # (pool_frontier err_share_from).
-        if hasattr(st, "best_err"):
-            lb = np.asarray(
-                jnp.minimum(st.best_ub[g:], st.best_err[g:]))[:n]
-        else:
-            lb = np.asarray(st.best_ub[g:])[:n]
+        # (pool_frontier err_share_from).  The dropped_lb clamp keeps the
+        # bound sound when frontier-capacity overflow discarded an
+        # unexplored node that could hold the min-lb witness (frontier.py
+        # module doc) — without it the certificate is silently voided.
+        lb_raw = np.asarray(
+            jnp.minimum(st.best_ub[g:], st.best_err[g:]))[:n]
+        drop_clamp = np.asarray(st.dropped_lb[g:])[:n]
+        lb = np.minimum(lb_raw, drop_clamp)
+        if np.any(drop_clamp < lb_raw):
+            log.warning(
+                f"Inner-BnB pool overflow clamped {int(np.sum(drop_clamp < lb_raw))} "
+                f"rotation lower bound(s); the search stays exact but "
+                f"slower — increase engine.pool_capacity")
         self.stats.translation_nodes += int(np.asarray(st.evaluated).sum())
         self.stats.inner_loop_steps += int(st.steps)
         self.stats.dropped_nodes += int(np.asarray(st.dropped).sum())

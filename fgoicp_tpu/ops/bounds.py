@@ -158,11 +158,56 @@ def distance_estimates(backend: Backend, queries):
     raise TypeError(f"Unknown backend type: {type(backend)}")
 
 
+def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
+                       trim_ns: Optional[int] = None):
+    """Reduce per-point bound terms [..., ns] to per-node sums.
+
+    Handles, in combination: per-point weights (real-valued for source
+    clusters, or a 0/1 padding mask), point-axis sharding (partial sums
+    psum'd over `points_axis`), and trimming (`trim_keep` smallest terms
+    kept).  Trimming composes with sharding via an exact global top-k of
+    the dropped (largest) terms: each shard contributes its local top-k
+    candidates, an all-gather + second top-k selects the true global
+    largest, and their sum is subtracted from the psum'd total —
+    equivalent to a single-device top-k over the full point set.  With
+    trimming, `point_weights` must be a 0/1 padding mask (weight-0 lanes
+    are excluded from both the total and the drop candidates) and
+    `trim_ns` must give the GLOBAL count of real (weight-1) points.
+    """
+    ns_local = pt.shape[-1]
+    if point_weights is not None:
+        w = jnp.asarray(point_weights, jnp.float32)
+        w = jnp.broadcast_to(w, pt.shape[-1:])
+        total = jnp.sum(pt * w, axis=-1)
+        masked = jnp.where(w > 0, pt, -jnp.float32(nn_ops.BIG))
+    else:
+        total = jnp.sum(pt, axis=-1)
+        masked = pt
+    if points_axis is not None:
+        total = jax.lax.psum(total, points_axis)
+    if trim_keep is None:
+        return total
+    ns_total = trim_ns if trim_ns is not None else ns_local
+    n_drop = ns_total - trim_keep
+    if n_drop <= 0:
+        return total
+    k_local = min(n_drop, ns_local)
+    top = jax.lax.top_k(masked, k_local)[0]
+    if points_axis is not None:
+        top = jax.lax.all_gather(top, points_axis,
+                                 axis=top.ndim - 1, tiled=True)
+        top = jax.lax.top_k(top, n_drop)[0]
+    # Squared terms are >= 0, so clamping removes any -BIG mask sentinels
+    # that slipped into the candidate set on nearly-all-padding shards.
+    return total - jnp.sum(jnp.maximum(top, 0.0), axis=-1)
+
+
 def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                     t_spans, node_mask=None, ref_compat_gamma: bool = False,
                     trim_keep: Optional[int] = None,
                     points_axis: Optional[str] = None,
-                    point_weights=None, point_deltas=None):
+                    point_weights=None, point_deltas=None,
+                    trim_ns: Optional[int] = None):
     """Evaluate lb/ub for a [G, B] grid of (rotation, translation) nodes.
 
     pcs:       [ns, 3] normalized source points.
@@ -175,18 +220,22 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
     points_axis: mesh axis name when `pcs` holds only this device's shard
                of the source points — per-point partial sums are psum'd
                over that axis (sequence-parallel bound evaluation,
-               SURVEY §5).  Incompatible with trim_keep (a trimmed sum
-               needs a global top-k).
+               SURVEY §5).  Composes with trim_keep via an exact global
+               top-k of the dropped terms (reduce_point_terms).
     point_weights: [ns] per-point weights multiplying both bound terms
                (0 marks padding lanes added to make ns divisible by the
-               points-axis size).  Incompatible with trim_keep.
+               points-axis size).  With trim_keep, must be a 0/1 mask
+               and trim_ns must give the global real point count.
+    trim_ns:   global count of real source points (static) — required
+               when trim_keep is combined with points_axis.
     Returns (lb [G, B], ub [G, B]).
     """
-    if trim_keep is not None and (points_axis is not None
-                                  or point_weights is not None):
-        raise ValueError("trim_keep is not supported with point sharding")
     if trim_keep is not None and point_deltas is not None:
         raise ValueError("trim_keep is not supported with source clusters")
+    if trim_keep is not None and points_axis is not None and trim_ns is None:
+        raise ValueError(
+            "trim_keep with point sharding needs trim_ns (global real "
+            "point count)")
     pcs = jnp.asarray(pcs, jnp.float32)
     R = jnp.asarray(R, jnp.float32)
     norms = jnp.linalg.norm(pcs, axis=-1)  # [ns]
@@ -208,6 +257,9 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
             backend.coreset.eps + jnp.float32(backend.eps_rank),
             point_weights=point_weights, gam_lb=gam_lb,
             interpret=(jax.default_backend() != "tpu"))
+        if points_axis is not None:
+            ub = jax.lax.psum(ub, points_axis)
+            lb = jax.lax.psum(lb, points_axis)
     else:
         q = base[:, None, :, :] \
             + jnp.asarray(t_centers, jnp.float32)[:, :, None, :]
@@ -216,22 +268,10 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
         ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[:, None, :], 0.0))
         lb_pt = jnp.square(jnp.maximum(
             d_lb - gam_lb[:, None, :] - gam_t[:, :, None], 0.0))
-        if point_weights is not None:
-            w = jnp.asarray(point_weights, jnp.float32)[None, None, :]
-            ub_pt = ub_pt * w
-            lb_pt = lb_pt * w
-
-        if trim_keep is not None:
-            ns = pcs.shape[0]
-            if trim_keep < ns:
-                ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
-                lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
-
-        ub = jnp.sum(ub_pt, axis=-1)
-        lb = jnp.sum(lb_pt, axis=-1)
-    if points_axis is not None:
-        ub = jax.lax.psum(ub, points_axis)
-        lb = jax.lax.psum(lb, points_axis)
+        ub = reduce_point_terms(ub_pt, point_weights, trim_keep,
+                                points_axis, trim_ns)
+        lb = reduce_point_terms(lb_pt, point_weights, trim_keep,
+                                points_axis, trim_ns)
     if node_mask is not None:
         big = jnp.float32(nn_ops.BIG)
         ub = jnp.where(node_mask, ub, big)

@@ -23,8 +23,12 @@ Semantics parity per group with branch_and_bound_R3:
     improving nodes) (fgoicp.cpp:139-145,173)
 
 Known deviation: a full frontier drops the worst-lb children instead of
-growing (counted in `dropped`); with default capacity this is rare and
-only weakens bounds, never violates them.
+growing (counted in `dropped`).  With default capacity this is rare, and
+it can never silently void the optimality certificate: the minimum lb
+ever dropped is tracked per group in `dropped_lb` and the consumer
+(models/goicp.py) clamps the group's returned lower bound with it —
+lb_sound = min(search result, dropped_lb[g]) — so a dropped min-lb
+witness can only loosen the bound, not invalidate it.
 """
 
 from __future__ import annotations
@@ -53,10 +57,16 @@ class R3State(NamedTuple):
     steps: jnp.ndarray      # scalar int32
     evaluated: jnp.ndarray  # [G] int32 nodes evaluated (ref: count)
     dropped: jnp.ndarray    # [G] int32 children lost to capacity
+    dropped_lb: jnp.ndarray  # [G] min lb ever dropped (INVALID = none)
 
 
 def _sort_frontier(centers, spans, lbs, capacity):
-    """Sort candidates ascending by lb and keep the best `capacity`."""
+    """Sort candidates ascending by lb and keep the best `capacity`.
+
+    Also returns, per group, the count of valid nodes dropped and the
+    minimum lb among them (INVALID when nothing was dropped) — the
+    certificate-soundness witness (see module doc).
+    """
     order = jnp.argsort(lbs, axis=-1)
     take = order[:, :capacity]
     lbs_s = jnp.take_along_axis(lbs, take, axis=-1)
@@ -64,18 +74,20 @@ def _sort_frontier(centers, spans, lbs, capacity):
     centers_s = jnp.take_along_axis(centers, take[..., None], axis=-2)
     n_valid = jnp.sum(lbs < INVALID, axis=-1)
     dropped = jnp.maximum(n_valid - capacity, 0)
-    return centers_s, spans_s, lbs_s, dropped.astype(jnp.int32)
+    rest_lb = jnp.take_along_axis(lbs, order[:, capacity:], axis=-1)
+    drop_min = jnp.min(rest_lb, axis=-1)
+    return centers_s, spans_s, lbs_s, dropped.astype(jnp.int32), drop_min
 
 
 @functools.partial(jax.jit, static_argnames=(
     "batch", "capacity", "max_steps", "ref_compat_gamma", "trim_keep",
-    "points_axis", "lockstep_axes"))
+    "points_axis", "lockstep_axes", "trim_ns"))
 def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
                    sse_threshold, group_active=None, min_span=0.1,
                    batch: int = 32, capacity: int = 4096,
                    max_steps: int = 100000, ref_compat_gamma: bool = False,
                    trim_keep=None, points_axis=None, lockstep_axes=(),
-                   point_weights=None):
+                   point_weights=None, trim_ns=None):
     """Run G translation BnB searches in lockstep.
 
     backend: bounds backend (proxy/lut/exact); pcs: [ns, 3] source.
@@ -107,6 +119,7 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
         steps=jnp.int32(0),
         evaluated=jnp.zeros((g,), jnp.int32),
         dropped=jnp.zeros((g,), jnp.int32),
+        dropped_lb=jnp.full((g,), INVALID),
     )
 
     b = batch
@@ -137,7 +150,7 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
             backend, pcs, R, rot_spans, fix_rot, cand_c, cand_s,
             node_mask=lane_valid, ref_compat_gamma=ref_compat_gamma,
             trim_keep=trim_keep, points_axis=points_axis,
-            point_weights=point_weights)
+            point_weights=point_weights, trim_ns=trim_ns)
 
         # Incumbent update from the batch min ub (fgoicp.cpp:139-145).
         batch_min = jnp.min(ub_e, axis=-1)
@@ -166,7 +179,10 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
         all_c = jnp.concatenate([rest_c, ch_c], axis=1)
         all_s = jnp.concatenate([rest_s, ch_s], axis=1)
         all_lb = jnp.concatenate([rest_lb, ch_lb], axis=1)
-        new_c, new_s, new_lb, drop = _sort_frontier(all_c, all_s, all_lb, capacity)
+        new_c, new_s, new_lb, drop, drop_min = _sort_frontier(
+            all_c, all_s, all_lb, capacity)
+        dropped_lb = jnp.minimum(
+            s.dropped_lb, jnp.where(active, drop_min, INVALID))
 
         # Freeze inactive groups.
         keep = ~active
@@ -181,6 +197,7 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
             steps=s.steps + 1,
             evaluated=s.evaluated + jnp.sum(lane_valid, axis=-1, dtype=jnp.int32),
             dropped=s.dropped + jnp.where(active, drop, 0),
+            dropped_lb=dropped_lb,
         )
 
     return jax.lax.while_loop(cond, body, state0)

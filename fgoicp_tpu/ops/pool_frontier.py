@@ -23,8 +23,17 @@ work-efficient (nodes are popped in the order most likely to prune).
 
 Search-semantics parity with the reference inner loop
 (/root/reference/fgoicp/fgoicp.cpp:102-174) matches frontier.py's:
-termination gap, lb-inheriting children, min-span cutoff, pool-overflow
-drops counted.
+termination gap, lb-inheriting children, min-span cutoff.
+
+Pool overflow and the optimality certificate: when valid nodes exceed
+`capacity`, the worst-lb nodes are dropped (counted in `dropped`).  A
+dropped node's subtree is never explored, so the pool minimum alone is
+NOT a valid lower bound on the group's objective once a drop has
+occurred — the per-group minimum lb ever dropped is therefore tracked in
+`dropped_lb` ([G], +INVALID when no drops) and the consumer must fold it
+in: lb_sound = min(search result, dropped_lb[g]).  models/goicp.py does
+exactly that, so capacity overflow can only loosen the certificate,
+never silently void it.
 """
 
 from __future__ import annotations
@@ -55,28 +64,29 @@ class PoolState(NamedTuple):
     steps: jnp.ndarray      # scalar int32
     evaluated: jnp.ndarray  # [G] int32
     dropped: jnp.ndarray    # scalar int32 (pool-overflow losses)
+    dropped_lb: jnp.ndarray  # [G] min lb ever dropped (INVALID = none)
 
 
 def _eval_lanes_xla(backend, base, gids, t_lanes, gam_ub, gam_lb,
-                    gam_t_lanes, point_weights, trim_keep):
+                    gam_t_lanes, point_weights, trim_keep,
+                    points_axis=None, trim_ns=None):
     """XLA fallback lane evaluator (CPU tests, LUT backend, trimming)."""
     q = base[gids] + t_lanes[:, None, :]                     # [L, ns, 3]
     d_ub, d_lb = bounds_ops.distance_estimates(backend, q)   # [L, ns]
     ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[gids], 0.0))
     lb_pt = jnp.square(jnp.maximum(
         d_lb - gam_lb[gids] - gam_t_lanes[:, None], 0.0))
-    if point_weights is not None:
-        ub_pt = ub_pt * point_weights[None, :]
-        lb_pt = lb_pt * point_weights[None, :]
-    if trim_keep is not None and trim_keep < ub_pt.shape[-1]:
-        ub_pt = -jax.lax.top_k(-ub_pt, trim_keep)[0]
-        lb_pt = -jax.lax.top_k(-lb_pt, trim_keep)[0]
-    return jnp.sum(lb_pt, axis=-1), jnp.sum(ub_pt, axis=-1)
+    lb = bounds_ops.reduce_point_terms(lb_pt, point_weights, trim_keep,
+                                       points_axis, trim_ns)
+    ub = bounds_ops.reduce_point_terms(ub_pt, point_weights, trim_keep,
+                                       points_axis, trim_ns)
+    return lb, ub
 
 
 @functools.partial(jax.jit, static_argnames=(
     "lanes", "capacity", "max_steps", "ref_compat_gamma", "trim_keep",
-    "points_axis", "lockstep_axes", "use_kernel"))
+    "points_axis", "lockstep_axes", "use_kernel", "err_share_axis",
+    "trim_ns"))
 def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
                   sse_threshold, group_active=None, min_span=0.1,
                   lanes: int = 1024, capacity: int = 32768,
@@ -85,7 +95,8 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
                   points_axis=None, lockstep_axes=(),
                   use_kernel: Optional[bool] = None,
                   point_weights=None, point_deltas=None,
-                  err_share_from=None):
+                  err_share_from=None, err_share_axis=None,
+                  trim_ns: Optional[int] = None):
     """Pool-scheduled equivalent of frontier.bnb_r3_batched.
 
     Same arguments and result contract (per-group best_ub/best_t/...),
@@ -97,7 +108,10 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
     validly upper-bounds this group's objective (-1 = none).  The engine
     points each gamma-relaxed lb-pass group at its fixed-rotation twin:
     relu(d - gamma_r)^2 <= d^2 pointwise, so the twin's incumbent prunes
-    the relaxed search too.
+    the relaxed search too.  When the group axis is sharded over a mesh
+    axis, pass that axis name as `err_share_axis` and GLOBAL group ids in
+    err_share_from — donor incumbents are all-gathered each step so twins
+    on different shards still share.
     """
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
@@ -138,6 +152,7 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         steps=jnp.int32(0),
         evaluated=jnp.zeros((g,), jnp.int32),
         dropped=jnp.int32(0),
+        dropped_lb=jnp.full((g,), INVALID),
     )
     grange = jnp.arange(g, dtype=jnp.int32)
 
@@ -169,13 +184,13 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
                 base, pop_gid, pop_c, backend.coreset.points, gam_ub,
                 gam_t_l, slack, point_weights=point_weights,
                 gam_lb=gam_lb, interpret=(jax.default_backend() != "tpu"))
+            if points_axis is not None:
+                lb_e = jax.lax.psum(lb_e, points_axis)
+                ub_e = jax.lax.psum(ub_e, points_axis)
         else:
             lb_e, ub_e = _eval_lanes_xla(
                 backend, base, pop_gid, pop_c, gam_ub, gam_lb, gam_t_l,
-                point_weights, trim_keep)
-        if points_axis is not None:
-            lb_e = jax.lax.psum(lb_e, points_axis)
-            ub_e = jax.lax.psum(ub_e, points_axis)
+                point_weights, trim_keep, points_axis, trim_ns)
         lb_e = jnp.where(lane_valid, lb_e, BIG)
         ub_e = jnp.where(lane_valid, ub_e, BIG)
 
@@ -191,7 +206,12 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         best_t = jnp.where(improve[:, None], pop_c[grp_arg], s.best_t)
         if err_share_from is not None:
             share = jnp.asarray(err_share_from, jnp.int32)
-            donor = best_err[jnp.maximum(share, 0)]
+            if err_share_axis is not None:
+                pool_err = jax.lax.all_gather(
+                    best_err, err_share_axis, tiled=True)  # [G global]
+            else:
+                pool_err = best_err
+            donor = pool_err[jnp.maximum(share, 0)]
             best_err = jnp.where(share >= 0,
                                  jnp.minimum(best_err, donor), best_err)
 
@@ -211,13 +231,22 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         keep = (all_lb < INVALID) & (all_lb < best_err[all_gid]) \
             & s.active[all_gid]
         all_lb = jnp.where(keep, all_lb, INVALID)
-        order = jnp.argsort(all_lb)[:cp]
-        new_lb = all_lb[order]
-        new_gid = all_gid[order]
-        new_c = all_c[order]
-        new_s = all_s[order]
+        order = jnp.argsort(all_lb)
+        new_lb = all_lb[order[:cp]]
+        new_gid = all_gid[order[:cp]]
+        new_c = all_c[order[:cp]]
+        new_s = all_s[order[:cp]]
         n_valid = jnp.sum(all_lb < INVALID)
         dropped = s.dropped + jnp.maximum(n_valid - cp, 0).astype(jnp.int32)
+        # Certificate soundness under overflow: remember the minimum lb
+        # among dropped (still-valid) nodes per group so the consumer can
+        # clamp the group's final lower bound with it (see module doc).
+        rest_lb = all_lb[order[cp:]]
+        rest_gid = all_gid[order[cp:]]
+        rest_onehot = rest_gid[:, None] == grange[None, :]
+        step_drop_min = jnp.min(
+            jnp.where(rest_onehot, rest_lb[:, None], INVALID), axis=0)
+        dropped_lb = jnp.minimum(s.dropped_lb, step_drop_min)
 
         minlb = group_minlb(new_lb, new_gid)                 # [G]
         converged = (best_err - minlb) < sse_threshold
@@ -231,6 +260,6 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
             lbs=new_lb, gids=new_gid, centers=new_c, spans=new_s,
             best_err=best_err, best_ub=best_ub, best_t=best_t,
             active=active, steps=s.steps + 1, evaluated=evaluated,
-            dropped=dropped)
+            dropped=dropped, dropped_lb=dropped_lb)
 
     return jax.lax.while_loop(cond, body, state0)

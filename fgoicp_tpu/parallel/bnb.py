@@ -36,10 +36,12 @@ from . import sharding as sh
 class PoolResult(NamedTuple):
     """Per-group results of a sharded pooled search (what GoICP consumes)."""
     best_ub: jnp.ndarray    # [G]
+    best_err: jnp.ndarray   # [G] pruning incumbent (lb tightening input)
     best_t: jnp.ndarray     # [G, 3]
     evaluated: jnp.ndarray  # [G]
     steps: jnp.ndarray      # scalar
     dropped: jnp.ndarray    # [n_cubes] per-shard overflow drops
+    dropped_lb: jnp.ndarray  # [G] min lb ever dropped (certificate clamp)
 
 
 def _pad_groups(tree_arrays, g, gp):
@@ -77,13 +79,13 @@ def bnb_r3_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
 
     The backend (proxy coreset / distance field) is replicated — it is
     read-only and shared by every lane; `pcs` is sharded over the points
-    axis; all per-group arrays shard over the cubes axis.
+    axis; all per-group arrays shard over the cubes axis.  Trimmed bounds
+    compose with point sharding through the exact global top-k in
+    bounds.reduce_point_terms (the padding mask marks pad lanes).
     """
     n_cubes = mesh.shape[sh.CUBES_AXIS]
     n_points = mesh.shape[sh.POINTS_AXIS]
-    if trim_keep is not None and n_points > 1:
-        raise ValueError(
-            "trimmed bounds need a global top-k; use mesh_points=1 with trim")
+    trim_ns = pcs.shape[0] if trim_keep is not None else None
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
     if group_active is None:
@@ -105,14 +107,15 @@ def bnb_r3_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
             capacity=capacity, max_steps=max_steps,
             ref_compat_gamma=ref_compat_gamma, trim_keep=trim_keep,
             points_axis=points_axis, lockstep_axes=lockstep,
-            point_weights=(None if n_points == 1 else w_))
+            point_weights=(None if n_points == 1 else w_),
+            trim_ns=trim_ns)
         return st
 
     gspec = P(sh.CUBES_AXIS)
     out_specs = frontier_ops.R3State(
         centers=gspec, spans=gspec, lbs=gspec, best_err=gspec,
         best_ub=gspec, best_t=gspec, active=gspec, steps=P(),
-        evaluated=gspec, dropped=gspec)
+        evaluated=gspec, dropped=gspec, dropped_lb=gspec)
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(sh.POINTS_AXIS), P(sh.POINTS_AXIS),
@@ -125,7 +128,8 @@ def bnb_r3_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
         centers=trim(st.centers), spans=trim(st.spans), lbs=trim(st.lbs),
         best_err=trim(st.best_err), best_ub=trim(st.best_ub),
         best_t=trim(st.best_t), active=trim(st.active), steps=st.steps,
-        evaluated=trim(st.evaluated), dropped=trim(st.dropped))
+        evaluated=trim(st.evaluated), dropped=trim(st.dropped),
+        dropped_lb=trim(st.dropped_lb))
 
 
 def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
@@ -133,19 +137,26 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
                           min_span=0.1, lanes: int = 1024,
                           capacity: int = 32768, max_steps: int = 100000,
                           ref_compat_gamma: bool = False,
-                          trim_keep: Optional[int] = None):
+                          trim_keep: Optional[int] = None,
+                          point_weights=None, point_deltas=None,
+                          err_share_from=None):
     """Pooled inner BnB over a (cubes, points) mesh.
 
     Each cubes-shard runs its own pool over its slice of the rotation
     groups (node parallelism); source points shard over the points axis
     with psum-reduced bounds.  Termination is a lockstep global vote, so
     shards with drained pools idle until every shard converges.
+
+    Feature parity with the single-device pooled path: weighted source
+    clusters (`point_weights`/`point_deltas` shard over the points axis
+    alongside `pcs`), twin incumbent sharing (`err_share_from` holds
+    GLOBAL group ids; donors resolve via a per-step all-gather over the
+    cubes axis), and trimmed bounds (exact global top-k over point
+    shards, bounds.reduce_point_terms).
     """
     n_cubes = mesh.shape[sh.CUBES_AXIS]
     n_points = mesh.shape[sh.POINTS_AXIS]
-    if trim_keep is not None and n_points > 1:
-        raise ValueError(
-            "trimmed bounds need a global top-k; use mesh_points=1 with trim")
+    trim_ns = pcs.shape[0] if trim_keep is not None else None
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
     if group_active is None:
@@ -155,36 +166,62 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
         [R, jnp.asarray(rot_spans, jnp.float32), jnp.asarray(fix_rot, bool),
          jnp.asarray(group_active, bool)], g, gp)
     act_p = act_p & (jnp.arange(gp) < g)
-    pcs_p, w_p = _pad_points(pcs, n_points)
+    share_p = None
+    if err_share_from is not None:
+        # Pad with -1 (no donor); ids stay global — the pool resolves them
+        # against an all-gathered incumbent vector.
+        share_p = jnp.full((gp,), -1, jnp.int32).at[:g].set(
+            jnp.asarray(err_share_from, jnp.int32))
+    pcs_p, mask_p = _pad_points(pcs, n_points)
+    if point_weights is not None:
+        w_p = jnp.pad(jnp.asarray(point_weights, jnp.float32),
+                      [(0, pcs_p.shape[0] - pcs.shape[0])])
+    else:
+        w_p = mask_p
+    d_p = None
+    if point_deltas is not None:
+        d_p = jnp.pad(jnp.asarray(point_deltas, jnp.float32),
+                      [(0, pcs_p.shape[0] - pcs.shape[0])])
 
     points_axis = sh.POINTS_AXIS if n_points > 1 else None
     lockstep = (sh.CUBES_AXIS,) if n_cubes > 1 else ()
+    share_axis = sh.CUBES_AXIS if (n_cubes > 1 and share_p is not None) \
+        else None
+    # Weights are needed when the caller supplied them or padding is real.
+    use_weights = point_weights is not None or n_points > 1
 
-    def local(backend_, pcs_, w_, R_, spans_, fix_, act_, best_sse_, thr_):
+    def local(backend_, pcs_, w_, d_, R_, spans_, fix_, act_, share_,
+              best_sse_, thr_):
         st = pool_frontier.bnb_r3_pooled(
             backend_, pcs_, R_, spans_, fix_, best_sse_, thr_,
             group_active=act_, min_span=min_span, lanes=lanes,
             capacity=capacity, max_steps=max_steps,
             ref_compat_gamma=ref_compat_gamma, trim_keep=trim_keep,
             points_axis=points_axis, lockstep_axes=lockstep,
-            point_weights=(None if n_points == 1 else w_))
-        return PoolResult(best_ub=st.best_ub, best_t=st.best_t,
-                          evaluated=st.evaluated, steps=st.steps,
-                          dropped=st.dropped[None])
+            point_weights=(w_ if use_weights else None),
+            point_deltas=d_, err_share_from=share_,
+            err_share_axis=share_axis, trim_ns=trim_ns)
+        return PoolResult(best_ub=st.best_ub, best_err=st.best_err,
+                          best_t=st.best_t, evaluated=st.evaluated,
+                          steps=st.steps, dropped=st.dropped[None],
+                          dropped_lb=st.dropped_lb)
 
     gspec = P(sh.CUBES_AXIS)
-    out_specs = PoolResult(best_ub=gspec, best_t=gspec, evaluated=gspec,
-                           steps=P(), dropped=P(sh.CUBES_AXIS))
+    pspec = P(sh.POINTS_AXIS)
+    out_specs = PoolResult(best_ub=gspec, best_err=gspec, best_t=gspec,
+                           evaluated=gspec, steps=P(),
+                           dropped=P(sh.CUBES_AXIS), dropped_lb=gspec)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(sh.POINTS_AXIS), P(sh.POINTS_AXIS),
-                  gspec, gspec, gspec, gspec, P(), P()),
+        in_specs=(P(), pspec, pspec, pspec,
+                  gspec, gspec, gspec, gspec, gspec, P(), P()),
         out_specs=out_specs, check_vma=False)
-    st = fn(backend, pcs_p, w_p, R_p, spans_p, fix_p, act_p,
+    st = fn(backend, pcs_p, w_p, d_p, R_p, spans_p, fix_p, act_p, share_p,
             jnp.float32(best_sse), jnp.float32(sse_threshold))
-    return PoolResult(best_ub=st.best_ub[:g], best_t=st.best_t[:g],
-                      evaluated=st.evaluated[:g], steps=st.steps,
-                      dropped=st.dropped)
+    return PoolResult(best_ub=st.best_ub[:g], best_err=st.best_err[:g],
+                      best_t=st.best_t[:g], evaluated=st.evaluated[:g],
+                      steps=st.steps, dropped=st.dropped,
+                      dropped_lb=st.dropped_lb[:g])
 
 
 def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,

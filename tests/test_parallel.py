@@ -47,6 +47,69 @@ def test_bnb_r3_sharded_matches_single_device(mesh_shape):
                                   np.asarray(ref.evaluated))
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_pooled_sharded_clusters_share_match_single_device(mesh_shape):
+    """Sharded pooled BnB with weighted source clusters + twin incumbent
+    sharing must match the single-device pooled path (round-1 gap: these
+    features silently degraded on multi-chip runs)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from fgoicp_tpu.ops import coreset as coreset_ops
+    from fgoicp_tpu.ops import pool_frontier
+    backend, _, pcs, R, spans, fix = _problem(seed=7, g=4)
+    g = R.shape[0]
+    clusters = coreset_ops.build_weighted(pcs, size=24, seed=7)
+    # ub-pass twins in lanes [0:g), lb-pass in [g:2g) like the engine.
+    R2 = jnp.concatenate([R, R])
+    spans2 = jnp.concatenate([spans, spans])
+    fix2 = jnp.concatenate([jnp.ones((g,), bool), jnp.zeros((g,), bool)])
+    share = jnp.concatenate([jnp.full((g,), -1, jnp.int32),
+                             jnp.arange(g, dtype=jnp.int32)])
+    # Capacity large enough that neither scheduler drops nodes — a shared
+    # pool under overflow legitimately diverges from per-shard pools (the
+    # dropped_lb clamp covers that case; see test_pool_frontier).
+    kw = dict(lanes=32, capacity=32768, max_steps=4000,
+              point_weights=clusters.weights, point_deltas=clusters.deltas,
+              err_share_from=share)
+    ref = pool_frontier.bnb_r3_pooled(
+        backend, clusters.reps, R2, spans2, fix2,
+        jnp.float32(1e9), jnp.float32(1e-4), **kw)
+    mesh = psh.make_mesh(*mesh_shape)
+    st = pbnb.bnb_r3_pooled_sharded(
+        backend, clusters.reps, R2, spans2, fix2,
+        jnp.float32(1e9), jnp.float32(1e-4), mesh=mesh, **kw)
+    assert int(np.asarray(ref.dropped)) == 0
+    assert int(np.asarray(st.dropped).sum()) == 0
+    np.testing.assert_allclose(np.asarray(st.best_ub),
+                               np.asarray(ref.best_ub), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.best_err),
+                               np.asarray(ref.best_err), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_trimmed_bounds_sharded_match_single_device(mesh_shape):
+    """Trimmed registration under point sharding: the global top-k merge
+    must reproduce the single-device trimmed sums exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    backend, _, pcs, R, spans, fix = _problem(seed=8, g=4)
+    keep = int(pcs.shape[0] * 0.8)
+    # Run to convergence: the sharded partial-sum order differs by f32
+    # noise (~5e-7), which can flip near-tie prune decisions mid-search;
+    # at gap termination both prove the same optima within the threshold.
+    kw = dict(batch=4, capacity=1024, max_steps=500, trim_keep=keep)
+    ref = frontier_ops.bnb_r3_batched(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        **kw)
+    mesh = psh.make_mesh(*mesh_shape)
+    st = pbnb.bnb_r3_sharded(
+        backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4),
+        mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(st.best_ub),
+                               np.asarray(ref.best_ub), rtol=1e-3, atol=2e-4)
+    assert np.all(np.asarray(st.evaluated) > 0)
+
+
 def test_icp_sharded_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")

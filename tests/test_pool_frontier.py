@@ -74,6 +74,40 @@ def test_pooled_deterministic():
     assert int(a.steps) == int(b.steps)
 
 
+def test_pool_overflow_keeps_lb_sound():
+    """Tiny capacity forces node drops; the dropped_lb-clamped result must
+    remain a valid lower bound on the group objective (an unclamped result
+    can exceed it and silently void the optimality certificate)."""
+    backend, pcs, R, spans, fix = _problem(seed=4)
+    g = R.shape[0]
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    big = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=8192,
+                                      max_steps=3000)
+    small = pool_frontier.bnb_r3_pooled(*args, lanes=8, capacity=g + 4,
+                                        max_steps=3000)
+    assert int(small.dropped) > 0, "capacity g+4 must overflow"
+    lb_sound = np.minimum(
+        np.minimum(np.asarray(small.best_ub), np.asarray(small.best_err)),
+        np.asarray(small.dropped_lb))
+    # big.best_ub is an ACHIEVED objective value, so true_min <= big.best_ub;
+    # a sound lower bound can therefore never exceed it.
+    assert np.all(lb_sound <= np.asarray(big.best_ub) + 1e-5)
+
+
+def test_grouped_overflow_keeps_lb_sound():
+    backend, pcs, R, spans, fix = _problem(seed=5)
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    big = frontier_ops.bnb_r3_batched(*args, batch=8, capacity=1024,
+                                      max_steps=500)
+    small = frontier_ops.bnb_r3_batched(*args, batch=4, capacity=8,
+                                        max_steps=500)
+    assert int(np.asarray(small.dropped).sum()) > 0
+    lb_sound = np.minimum(
+        np.minimum(np.asarray(small.best_ub), np.asarray(small.best_err)),
+        np.asarray(small.dropped_lb))
+    assert np.all(lb_sound <= np.asarray(big.best_ub) + 1e-5)
+
+
 def test_pooled_trimmed_bounds():
     backend, pcs, R, spans, fix = _problem(seed=2)
     ns = pcs.shape[0]
