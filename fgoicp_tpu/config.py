@@ -27,6 +27,35 @@ def _clamp(x: float, lo: float, hi: float) -> float:
     return min(max(x, lo), hi)
 
 
+def _coerce_engine_value(name: str, value, default):
+    """Type-checked coercion for an [engine] TOML value.
+
+    TOML already delivers typed values; this only permits the safe
+    widenings (int -> float, and exact-int floats for int fields) and
+    rejects everything else — `frontier_mode = 3` must be an error, not
+    the string "3"."""
+    want = type(default)
+    if want is bool:
+        if isinstance(value, bool):
+            return value
+    elif want is int:
+        if isinstance(value, bool):
+            pass  # bool is an int subclass; reject for int fields
+        elif isinstance(value, int):
+            return value
+        elif isinstance(value, float) and value == int(value):
+            return int(value)
+    elif want is float:
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return float(value)
+    elif want is str:
+        if isinstance(value, str):
+            return value
+    raise ValueError(
+        f"[engine] {name} expects {want.__name__}, got "
+        f"{type(value).__name__} ({value!r})")
+
+
 @dataclasses.dataclass
 class IOConfig:
     target: str = ""
@@ -100,6 +129,14 @@ class EngineConfig:
     lut_builder: str = "auto"       # auto | brute | edt
     lut_max_dim: int = 2048         # hard error above (registration.cu:191)
     lut_warn_dim: int = 1024        # warn above (registration.cu:195)
+    # Fold builder + interpolation + storage-quantization slack into the
+    # LUT distance estimates so lb <= true SSE stays valid (default).
+    # False reproduces raw lookups (tighter but unsound, like the ref).
+    lut_conservative: bool = True
+    # Reproduce the reference LUT exactly for parity debugging: d^2
+    # texture, ceil(range/res) dims, half-texel-shifted trilinear lookup
+    # (registration.cu:186-188,214-234,320-328).  Implies no slack.
+    ref_compat_lut: bool = False
     # Hierarchical source bounds: when > 0 and the source has more points,
     # SEARCH-phase bound evaluation runs over this many weighted FPS
     # clusters (coreset.SourceClusters) instead of every source point —
@@ -111,6 +148,12 @@ class EngineConfig:
     # Parallel layout.
     mesh_cubes: int = 1             # devices along the rotation-cube axis
     mesh_points: int = 1            # devices sharding the source-point axis
+    # Multi-host protocol (parallel/distributed.py): outer steps each host
+    # runs between incumbent all-gathers (staleness bound — a stale
+    # incumbent only weakens pruning, never soundness), and the max nodes
+    # a round's work-stealing transfer may move to idle hosts (0 = off).
+    multihost_sync_every: int = 1
+    multihost_steal_max: int = 8
     # Checkpoint/resume of BnB state ("" = disabled).
     checkpoint_path: str = ""
     checkpoint_every: int = 0       # outer steps between checkpoints
@@ -158,9 +201,15 @@ class Config:
         cfg.params.trim_fraction = _clamp(cfg.params.trim_fraction, 0.0, 0.9)
 
         e = tbl.get("engine", {})
+        known = {f.name for f in dataclasses.fields(EngineConfig)}
+        for key in e:
+            if key not in known:
+                raise ValueError(f"Unknown [engine] key: {key!r}")
         for f in dataclasses.fields(EngineConfig):
             if f.name in e:
-                setattr(cfg.engine, f.name, f.type_cast(e[f.name]) if hasattr(f, "type_cast") else type(getattr(cfg.engine, f.name))(e[f.name]))
+                setattr(cfg.engine, f.name,
+                        _coerce_engine_value(f.name, e[f.name],
+                                             getattr(cfg.engine, f.name)))
         return cfg
 
     def __str__(self) -> str:

@@ -114,12 +114,22 @@ class GoICP:
                           max(1, int(round(self.ns * (1.0 - trim_fraction)))))
 
         if bound_backend == "lut":
+            lut_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                         "float16": jnp.float16}[e.lut_dtype]
+            builder = "ref" if e.ref_compat_lut else e.lut_builder
             field = df_ops.build(
                 self.pct, self.norm.target_bounds, lut_resolution,
-                builder=e.lut_builder, max_dim=e.lut_max_dim,
+                builder=builder, dtype=lut_dtype, max_dim=e.lut_max_dim,
                 warn_dim=e.lut_warn_dim)
+            # conservative folds the field+interpolation slack into the
+            # distance estimates so lb <= true SSE holds for EDT-built and
+            # narrow-dtype fields too; ref-compat mode deliberately drops
+            # the guarantee (it reproduces the reference's raw texture
+            # lookup, registration.cu:320-328).
             self.backend = bounds_ops.make_backend(
-                self.pct, kind="lut", field=field)
+                self.pct, kind="lut", field=field,
+                conservative=e.lut_conservative,
+                ref_compat=e.ref_compat_lut)
         else:
             self.backend = bounds_ops.make_backend(
                 self.pct, kind=bound_backend, proxy_size=proxy_size,

@@ -51,7 +51,13 @@ float* fgoicp_load_txt(const char* path, int64_t* n_out) {
   const char* p = buf.c_str();
   char* end = nullptr;
   long long total = std::strtoll(p, &end, 10);
-  if (end == p || total <= 0) return nullptr;
+  // Bound the declared count by what the file can physically hold (a row
+  // is at least "0 0 0\n" = 6 bytes): a huge attacker-controlled count
+  // would otherwise wrap the size_t allocation below and the row-writing
+  // loop would overflow the small buffer before parsing runs dry.
+  if (end == p || total <= 0 ||
+      static_cast<unsigned long long>(total) > buf.size() / 6)
+    return nullptr;
   p = end;
   // Skip to the end of the header line (ignore trailing tokens on it).
   while (*p && *p != '\n') ++p;
@@ -149,6 +155,16 @@ float* load_ply_impl(const std::string& buf, int64_t* n_out) {
   }
   if (!(binary || ascii)) return nullptr;
 
+  // Bound every declared element count by the file size (each row takes
+  // at least one byte in either encoding) BEFORE any allocation or
+  // stride*count arithmetic: a huge count wraps the multiplications and
+  // turns the row loops into heap overflows on a small buffer.
+  for (const auto& e : elems) {
+    if (e.count < 0 ||
+        static_cast<unsigned long long>(e.count) > buf.size())
+      return nullptr;
+  }
+
   for (auto& e : elems) {
     if (e.name == "vertex") {
       if (e.has_list) return nullptr;
@@ -162,7 +178,15 @@ float* load_ply_impl(const std::string& buf, int64_t* n_out) {
         stride += pr.size;
       }
       if (ix < 0 || iy < 0 || iz < 0) return nullptr;
-      if (!(e.props[ix].is_double || e.props[ix].is_float)) return nullptr;
+      // All three coordinates must be float or double AND the same type:
+      // the binary path memcpys with one width/encoding for all of them,
+      // so a mixed x:float/y:double (or integer y) file would silently
+      // return corrupted coordinates.  Punt to the Python parser instead.
+      const Prop &px = e.props[ix], &py = e.props[iy], &pz = e.props[iz];
+      for (const Prop* pr : {&px, &py, &pz})
+        if (!(pr->is_double || pr->is_float)) return nullptr;
+      if (py.is_double != px.is_double || pz.is_double != px.is_double)
+        return nullptr;
       float* data =
           static_cast<float*>(std::malloc(sizeof(float) * 3 * e.count));
       if (!data) return nullptr;

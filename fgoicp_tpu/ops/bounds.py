@@ -75,12 +75,18 @@ class ProxyBackend:
 class LutBackend:
     field: df_ops.DistanceField
     conservative: bool = dataclasses.field(
+        default=True, metadata={"static": True})
+    # ref_compat: field was built with builder="ref" (stores d^2, no +1
+    # node, half-texel-shifted lookup) — reproduces the reference LUT for
+    # parity debugging; carries NO bound-validity guarantee.
+    ref_compat: bool = dataclasses.field(
         default=False, metadata={"static": True})
 
     @property
     def total_slack(self):
-        # field slack (builder error) + trilinear interpolation bound for a
-        # 1-Lipschitz function over a cell diagonal.
+        # field slack (builder error + storage quantization) + trilinear
+        # interpolation bound for a 1-Lipschitz function over a cell
+        # diagonal.
         return self.field.slack + geo.SQRT3 / self.field.inv_res
 
 
@@ -90,7 +96,8 @@ Backend = Union[ProxyBackend, LutBackend]
 def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
                  rank_precision: str = "highest",
                  field: Optional[df_ops.DistanceField] = None,
-                 conservative: bool = False, seed: int = 0) -> Backend:
+                 conservative: bool = True, ref_compat: bool = False,
+                 seed: int = 0) -> Backend:
     """Build a distance backend over the (normalized) target cloud."""
     if kind == "proxy":
         cs = coreset_ops.build(target, size=proxy_size, seed=seed)
@@ -104,7 +111,9 @@ def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
                             eps_rank=0.0)
     if kind == "lut":
         assert field is not None, "lut backend requires a built DistanceField"
-        return LutBackend(field=field, conservative=conservative)
+        return LutBackend(field=field,
+                          conservative=conservative and not ref_compat,
+                          ref_compat=ref_compat)
     raise ValueError(f"Unknown bound backend: {kind}")
 
 
@@ -150,6 +159,9 @@ def distance_estimates(backend: Backend, queries):
         slack = backend.coreset.eps + backend.eps_rank
         return d, d - slack
     if isinstance(backend, LutBackend):
+        if backend.ref_compat:
+            d = df_ops.lookup_ref_compat(backend.field, queries)
+            return d, d  # reference behavior: raw lookup, no slack
         d = df_ops.lookup(backend.field, queries)
         if backend.conservative:
             s = backend.total_slack

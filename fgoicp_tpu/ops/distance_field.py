@@ -32,6 +32,19 @@ TPU-native redesign (conscious differences, all documented):
   reference's half-texel offset (tex3D samples at i+0.5 but queries are
   mapped without the shift, registration.cu:320-328) is deliberately not
   reproduced — grid node i sits exactly at origin + i*res here.
+
+* **Reference-compat mode** (builder="ref" + lookup_ref_compat):
+  reproduces the reference LUT bit-for-bit in structure for parity
+  debugging — dims = ceil(range/res) with NO +1 (registration.cu:186),
+  stored quantity is the SQUARED distance (buildLUTKernel,
+  registration.cu:258-278), and lookup applies the half-texel shift the
+  reference inherits from tex3D linear filtering (coordinates mapped
+  without the +0.5 the hardware subtracts, registration.cu:320-328),
+  returning sqrt(interpolated d^2).  These bounds carry no validity
+  guarantee (d^2 interpolation overestimates in cell interiors; the
+  shift skews lookups by res/2) — exactly like the reference.  A field
+  built with builder="ref" must only be read through lookup_ref_compat
+  (the LutBackend.ref_compat flag routes this).
 """
 
 from __future__ import annotations
@@ -63,18 +76,22 @@ class DistanceField(NamedTuple):
         return self.values.shape
 
 
-def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024):
+def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024,
+              inclusive=True):
     """dims = ceil(range / res) + 1 nodes per axis.
 
     The reference uses ceil(range/res) (registration.cu:186-188), whose
     last node falls short of the bounding-box max corner so boundary
-    queries clamp; the +1 here makes coverage inclusive.  Size-limit
-    semantics match the reference (:191-198): hard error beyond max_dim,
-    warn beyond warn_dim.
+    queries clamp; the +1 here makes coverage inclusive
+    (inclusive=False reproduces the reference dims for compat mode).
+    Size-limit semantics match the reference (:191-198): hard error
+    beyond max_dim, warn beyond warn_dim.
     """
     bounds = np.asarray(bounds, np.float64)
-    dims = tuple(int(math.ceil((bounds[a, 1] - bounds[a, 0]) / resolution)) + 1
-                 for a in range(3))
+    extra = 1 if inclusive else 0
+    dims = tuple(
+        int(math.ceil((bounds[a, 1] - bounds[a, 0]) / resolution)) + extra
+        for a in range(3))
     dims = tuple(max(d, 2) for d in dims)
     if any(d >= max_dim for d in dims):
         raise ValueError(
@@ -91,9 +108,12 @@ def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "cell_chunk"))
-def _build_brute(points, origin, resolution, dims, cell_chunk=32768):
-    """Exact min distance from every grid node to the cloud (streamed)."""
+@functools.partial(jax.jit, static_argnames=("dims", "cell_chunk", "squared"))
+def _build_brute(points, origin, resolution, dims, cell_chunk=32768,
+                 squared=False):
+    """Exact min distance from every grid node to the cloud (streamed).
+
+    squared=True keeps d^2 (the reference's stored quantity)."""
     x, y, z = dims
     n_cells = x * y * z
     pad = (-n_cells) % cell_chunk
@@ -103,9 +123,10 @@ def _build_brute(points, origin, resolution, dims, cell_chunk=32768):
     ix = lin // (z * y)
     coords = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
     pos = origin[None, :] + coords * resolution
-    d2 = nn_ops.nearest_sqdist(pos, points, q_chunk=cell_chunk)
-    d = jnp.sqrt(jnp.maximum(d2[:n_cells], 0.0))
-    return d.reshape(dims)
+    d2 = jnp.maximum(nn_ops.nearest_sqdist(pos, points, q_chunk=cell_chunk),
+                     0.0)
+    vals = d2[:n_cells] if squared else jnp.sqrt(d2[:n_cells])
+    return vals.reshape(dims)
 
 
 def _minplus_1d(g, resolution, out_chunk=128, line_chunk=4096):
@@ -164,12 +185,19 @@ def build(points, bounds, resolution, builder: str = "auto",
     """Construct the distance field over `bounds` ([3, 2] min/max).
 
     builder: 'brute' (exact, zero slack), 'edt' (fast, slack =
-    sqrt(3/2) * res), or 'auto' (brute iff cells * n_points fits the
-    budget).
+    sqrt(3/2) * res), 'auto' (brute iff cells * n_points fits the
+    budget), or 'ref' (reference-compat d^2 field, module doc — read it
+    only through lookup_ref_compat).
+
+    Narrow storage dtypes fold their quantization error into `slack`
+    (relative rounding x max stored value), so conservative bounds stay
+    valid for bfloat16/float16 fields too.
     """
     points = jnp.asarray(points, jnp.float32)
     bounds = np.asarray(bounds, np.float64)
-    dims = grid_dims(bounds, resolution, max_dim=max_dim, warn_dim=warn_dim)
+    inclusive = builder != "ref"  # ref: ceil(range/res), no +1 node
+    dims = grid_dims(bounds, resolution, max_dim=max_dim, warn_dim=warn_dim,
+                     inclusive=inclusive)
     origin = jnp.asarray(bounds[:, 0], jnp.float32)
     n_cells = int(np.prod(dims))
     if builder == "auto":
@@ -181,13 +209,23 @@ def build(points, bounds, resolution, builder: str = "auto",
     elif builder == "edt":
         vals = _build_edt(points, origin, jnp.float32(resolution), dims)
         slack = math.sqrt(1.5) * resolution
+    elif builder == "ref":
+        vals = _build_brute(points, origin, jnp.float32(resolution), dims,
+                            squared=True)
+        slack = 0.0  # no guarantee in compat mode (module doc)
     else:
         raise ValueError(f"Unknown distance-field builder: {builder}")
+    vals = vals.astype(dtype)
+    slack = jnp.float32(slack)
+    quant_eps = {jnp.dtype(jnp.bfloat16): 2.0 ** -8,
+                 jnp.dtype(jnp.float16): 2.0 ** -11}.get(jnp.dtype(dtype))
+    if quant_eps is not None and builder != "ref":
+        slack = slack + jnp.max(vals).astype(jnp.float32) * quant_eps
     return DistanceField(
-        values=vals.astype(dtype),
+        values=vals,
         origin=origin,
         inv_res=jnp.float32(1.0 / resolution),
-        slack=jnp.float32(slack),
+        slack=slack,
     )
 
 
@@ -196,15 +234,11 @@ def build(points, bounds, resolution, builder: str = "auto",
 # ---------------------------------------------------------------------------
 
 
-def lookup(field: DistanceField, queries):
-    """Trilinear distance lookup for queries [..., 3] (world coordinates).
-
-    Out-of-box queries clamp to the border, reproducing the reference's
-    cudaAddressModeClamp behavior (registration.cu:226-228).
-    """
-    q = jnp.asarray(queries, jnp.float32)
+def _trilinear(field: DistanceField, c):
+    """Trilinear interpolation of stored values at grid coords c [..., 3]
+    (already mapped/shifted); coordinates clamp to the border like
+    cudaAddressModeClamp (registration.cu:226-228)."""
     x, y, z = field.values.shape
-    c = (q - field.origin) * field.inv_res
     maxc = jnp.asarray([x - 1, y - 1, z - 1], jnp.float32)
     c = jnp.clip(c, 0.0, maxc)
     i0 = jnp.minimum(c.astype(jnp.int32),
@@ -228,3 +262,29 @@ def lookup(field: DistanceField, queries):
     c0 = c00 * (1 - fy) + c01 * fy
     c1 = c10 * (1 - fy) + c11 * fy
     return c0 * (1 - fx) + c1 * fx
+
+
+def lookup(field: DistanceField, queries):
+    """Trilinear distance lookup for queries [..., 3] (world coordinates).
+
+    Out-of-box queries clamp to the border, reproducing the reference's
+    cudaAddressModeClamp behavior (registration.cu:226-228).
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    return _trilinear(field, (q - field.origin) * field.inv_res)
+
+
+def lookup_ref_compat(field: DistanceField, queries):
+    """Reference-compat lookup on a builder="ref" d^2 field.
+
+    The reference maps the query by offset/scale and fetches tex3D
+    directly (registration.cu:320-328); CUDA linear filtering samples
+    texel centers at i+0.5, so the un-shifted mapping lands the query
+    half a texel low — reproduced here as an explicit -0.5 shift.  The
+    interpolated value is a squared distance (buildLUTKernel stores d^2);
+    the bound math consumes sqrt of it (registration.cu:46-48).
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    c = (q - field.origin) * field.inv_res - 0.5
+    d2 = _trilinear(field, c)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))

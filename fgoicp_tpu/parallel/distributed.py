@@ -8,19 +8,28 @@ the full nested BnB on its partition with its local device mesh, and a
 small fixed-size incumbent message is all-gathered every outer step so
 every host prunes against the global best.
 
-Protocol (one message per host per round, 15 floats):
-    [best_sse, local_min_lb, heap_empty, R(9), t(3)]
-Each round every host adopts the global-min incumbent, then either runs
-one outer step (if its local gap is still open) or idles in lockstep.
-Global termination — identical on every host because it is a pure
-function of the gathered matrix — fires when
-    global_best_sse - min_h(local_min_lb_h) <= sse_threshold,
+Protocol (one message per host per round, 16 floats):
+    [best_sse, local_min_lb, idle_flag, R(9), t(3), heap_len]
+Each sync round every host adopts the global-min incumbent, then runs up
+to `engine.multihost_sync_every` outer steps (staleness bound: the
+incumbent a host prunes against is at most that many outer steps old —
+a stale incumbent is merely HIGHER, so pruning stays sound) before the
+next collective.  Every decision taken at a sync point — termination,
+incumbent adoption, donor/recipient selection for work stealing — is a
+PURE FUNCTION of the gathered matrix, so all hosts always agree; and the
+wire format is lossless for float64 (JaxProcessCommunicator splits each
+f64 into an exact f32 (hi, lo) pair), so no host can disagree with
+another about a threshold comparison by rounding.  Global termination
+fires when
+    min_h(best_sse_h) - min_h(local_min_lb_h) <= sse_threshold,
 which also covers the all-heaps-empty case (min_lb = +inf).
 
-Hosts whose partition drains early idle through sync rounds rather than
-exiting (the all-gather is a collective; dropping out would deadlock the
-others).  Work stealing across hosts is future work — partition imbalance
-costs idle rounds, never correctness.
+Work stealing: when the gathered matrix shows at least one idle host and
+a non-idle host with >= 2 frontier nodes, a second all-gather moves up to
+`steal_max` nodes from the largest heap to the idle hosts (round-robin).
+Donated nodes are popped from the donor, so each node lives in exactly
+one heap and the BnB certificate is unaffected.  The second gather runs
+iff the (shared) matrix says so — no host can skip the collective.
 
 The communicator is pluggable: `JaxProcessCommunicator` rides
 jax.experimental.multihost_utils over a real multi-process jax.distributed
@@ -30,6 +39,7 @@ runtime; `ThreadCommunicator` runs N simulated hosts in threads for tests
 
 from __future__ import annotations
 
+import heapq
 import threading
 from typing import Optional, Sequence
 
@@ -39,7 +49,28 @@ from ..config import EngineConfig
 from ..models.goicp import BIG, GoICP
 from ..utils import logging as log
 
-_MSG_LEN = 15
+_MSG_LEN = 16
+
+
+def split_f64_to_f32_pairs(vec: np.ndarray) -> np.ndarray:
+    """[L] f64 -> [2L] f32 (hi, lo) such that hi + lo == vec exactly.
+
+    The jax.distributed all-gather wire is float32; a single-rounded
+    best_sse lets hosts disagree about threshold comparisons near the
+    convergence boundary and deadlock in the collective.  The classic
+    double-single split keeps the full f64 value across the f32 wire.
+    """
+    vec = np.asarray(vec, np.float64)
+    hi = vec.astype(np.float32)
+    lo = (vec - hi.astype(np.float64)).astype(np.float32)
+    return np.concatenate([hi, lo])
+
+
+def merge_f32_pairs_to_f64(mat: np.ndarray) -> np.ndarray:
+    """Inverse of split_f64_to_f32_pairs over the last axis."""
+    half = mat.shape[-1] // 2
+    return (mat[..., :half].astype(np.float64)
+            + mat[..., half:].astype(np.float64))
 
 
 class ThreadCommunicator:
@@ -78,9 +109,9 @@ class JaxProcessCommunicator:
 
     def allgather(self, vec: np.ndarray) -> np.ndarray:
         from jax.experimental import multihost_utils
-        return np.asarray(
-            multihost_utils.process_allgather(np.asarray(vec, np.float32)),
-            np.float64)
+        wire = multihost_utils.process_allgather(
+            split_f64_to_f32_pairs(vec))
+        return merge_f32_pairs_to_f64(np.asarray(wire))
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -119,46 +150,107 @@ class MultiHostGoICP(GoICP):
         self.comm = comm
         self.sync_rounds = 0
         self.idle_rounds = 0
+        self.donated_nodes = 0
+        self.stolen_nodes = 0
 
     def root_nodes(self):
         return partition_root(self.comm.rank, self.comm.size)
+
+    def _locally_idle(self) -> bool:
+        """True when this host would not run an outer step this round."""
+        return not self._heap or self.outer_converged()
 
     def _message(self) -> np.ndarray:
         msg = np.empty((_MSG_LEN,), np.float64)
         msg[0] = self.best_sse
         msg[1] = self.heap_min_lb()
-        msg[2] = 0.0 if self._heap else 1.0
+        msg[2] = 1.0 if self._locally_idle() else 0.0
         msg[3:12] = np.asarray(self.best_rotation, np.float64).reshape(9)
         msg[12:15] = np.asarray(self.best_translation, np.float64)
+        msg[15] = float(len(self._heap))
         return msg
 
     def _sync_round(self) -> bool:
-        """All-gather incumbents; adopt the global best.  Returns True
-        when the search is globally converged."""
+        """All-gather incumbents; adopt the global best; rebalance work.
+        Returns True when the search is globally converged.
+
+        Every decision here is a pure function of the gathered matrix —
+        identical on all hosts — so no host can exit the loop while
+        another re-enters the collective (that divergence deadlocks)."""
         gathered = self.comm.allgather(self._message())
         self.sync_rounds += 1
         k = int(np.argmin(gathered[:, 0]))
-        if gathered[k, 0] < self.best_sse:
-            self.best_sse = float(gathered[k, 0])
+        gmin = float(gathered[k, 0])
+        if gmin < self.best_sse:
+            self.best_sse = gmin
             self.best_rotation = np.asarray(
                 gathered[k, 3:12].reshape(3, 3), np.float32)
             self.best_translation = np.asarray(gathered[k, 12:15], np.float32)
             self._record_improvement()
         global_min_lb = float(np.min(gathered[:, 1]))
-        return self.best_sse - global_min_lb <= self.sse_threshold
+        converged = gmin - global_min_lb <= self.sse_threshold
+        if not converged:
+            self._maybe_steal(gathered)
+        return converged
+
+    def _maybe_steal(self, gathered: np.ndarray) -> None:
+        """Move frontier nodes from the largest heap to idle hosts.
+
+        Donor/recipient selection and the decision to run the payload
+        collective are derived from the shared matrix, so either every
+        host enters the second all-gather or none does.  Donated nodes
+        are popped from the donor (each node lives in exactly one heap)."""
+        steal_max = max(0, self.engine.multihost_steal_max)
+        idle = gathered[:, 2] > 0.5
+        sizes = gathered[:, 15]
+        n_idle = int(np.sum(idle))
+        donor = int(np.argmax(np.where(~idle, sizes, -1.0)))
+        if steal_max == 0 or n_idle == 0 or idle[donor] or sizes[donor] < 2:
+            return
+        payload = np.zeros((1 + 6 * steal_max,), np.float64)
+        if self.comm.rank == donor:
+            n_give = min(steal_max, len(self._heap) - 1)
+            top = heapq.heappop(self._heap)  # donor keeps its best node
+            give = [heapq.heappop(self._heap) for _ in range(n_give)]
+            heapq.heappush(self._heap, top)
+            payload[0] = float(n_give)
+            for i, (lb, _, (x, y, z, span, ub)) in enumerate(give):
+                payload[1 + 6 * i:7 + 6 * i] = (lb, x, y, z, span, ub)
+            self.donated_nodes += n_give
+        row = self.comm.allgather(payload)[donor]
+        cnt = int(row[0])
+        if idle[self.comm.rank] and cnt > 0:
+            my_idx = int(np.flatnonzero(idle).tolist().index(self.comm.rank))
+            for i in range(cnt):
+                if i % n_idle != my_idx:
+                    continue
+                lb, x, y, z, span, ub = row[1 + 6 * i:7 + 6 * i]
+                heapq.heappush(
+                    self._heap,
+                    (float(lb), next(self._tie),
+                     (float(x), float(y), float(z), float(span), float(ub))))
+                self.stolen_nodes += 1
 
     def _branch_and_bound_so3(self):
         self.seed_heap()
+        sync_every = max(1, self.engine.multihost_sync_every)
         while True:
             if self._sync_round():
                 break
-            if self._heap and not self.outer_converged():
-                self.outer_step()
-            else:
+            stepped = False
+            for _ in range(sync_every):
+                if self._heap and not self.outer_converged():
+                    self.outer_step()
+                    stepped = True
+                else:
+                    break
+            if not stepped:
                 self.idle_rounds += 1
         log.debug(f"[host {self.comm.rank}] BnB done: "
                   f"{self.sync_rounds} sync rounds, "
-                  f"{self.idle_rounds} idle, best={self.best_sse}")
+                  f"{self.idle_rounds} idle, "
+                  f"{self.donated_nodes} donated / {self.stolen_nodes} "
+                  f"stolen nodes, best={self.best_sse}")
         return self.best_sse
 
 

@@ -1,0 +1,90 @@
+"""Phase-level wall-clock breakdown of a GoICP run (perf tuning aid).
+
+Wraps the engine's private phases with timers and prints where the
+steady-state seconds go: initial ICP, inner-BnB device calls, triggered
+ICPs, host bookkeeping, final ICP.  Run on the TPU:
+
+    python scripts/profile_phases.py [--config configs/bunny.toml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(model):
+    """Monkey-patch timers around the engine phases."""
+    acc = {"initial_icp": 0.0, "inner_bnb": 0.0, "refine_icp": 0.0,
+           "final_icp": 0.0, "spawn": 0.0, "prep": 0.0}
+    counts = {"inner_calls": 0, "refine_calls": 0}
+
+    def wrap(name, fn, count_key=None):
+        def inner(*a, **kw):
+            t0 = time.time()
+            out = fn(*a, **kw)
+            acc[name] += time.time() - t0
+            if count_key:
+                counts[count_key] += 1
+            return out
+        return inner
+
+    model._initial_icp = wrap("initial_icp", model._initial_icp)
+    model._evaluate_children = wrap("inner_bnb", model._evaluate_children,
+                                    "inner_calls")
+    model._refine_candidates = wrap("refine_icp", model._refine_candidates,
+                                    "refine_calls")
+    model._final_icp = wrap("final_icp", model._final_icp)
+    model._spawn_children = wrap("spawn", model._spawn_children)
+    return acc, counts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source-coreset", type=int, default=0)
+    ap.add_argument("--pool-lanes", type=int, default=1024)
+    ap.add_argument("--proxy-size", type=int, default=4096)
+    ap.add_argument("--rotation-batch", type=int, default=16)
+    ap.add_argument("--icp-max-iter", type=int, default=100)
+    ap.add_argument("--icp-width", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from fgoicp_tpu.config import EngineConfig
+    from fgoicp_tpu.io import load_cloud
+    from fgoicp_tpu.models.goicp import GoICP
+
+    pct = load_cloud("/root/reference/data/bunny/model_bunny.txt", 0.5, seed=0)
+    pcs = load_cloud("/root/reference/data/bunny/data_bunny.txt", 0.1, seed=1)
+
+    eng = EngineConfig(source_coreset=args.source_coreset,
+                       pool_lanes=args.pool_lanes,
+                       rotation_batch=args.rotation_batch,
+                       icp_max_iter=args.icp_max_iter,
+                       icp_width=args.icp_width)
+    for run in range(args.runs):
+        model = GoICP(pct, pcs, mse_threshold=1e-3, engine=eng,
+                      proxy_size=args.proxy_size)
+        acc, counts = timed(model)
+        t0 = time.time()
+        model.run()
+        wall = time.time() - t0
+        other = wall - sum(acc.values())
+        out = {"run": run, "wall_s": round(wall, 3),
+               "mse": float(model.mse), "sse": float(model.best_sse),
+               "nodes": model.stats.translation_nodes,
+               "inner_steps": model.stats.inner_loop_steps,
+               "icp_runs": model.stats.icp_runs,
+               "phases_s": {k: round(v, 3) for k, v in acc.items()},
+               "other_s": round(other, 3), **counts}
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

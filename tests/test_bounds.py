@@ -99,7 +99,10 @@ class TestBoundValidity:
         pct, pcs = problem
         bounds = np.stack([pct.min(0) - 0.1, pct.max(0) + 0.1], axis=-1)
         field = df_ops.build(pct, bounds, 0.02, builder="brute")
-        lut_b = bounds_ops.make_backend(pct, kind="lut", field=field)
+        # Raw (non-conservative) mode: this test measures how close the
+        # bare trilinear lookup sits to exact NN on a fine grid.
+        lut_b = bounds_ops.make_backend(pct, kind="lut", field=field,
+                                        conservative=False)
         ex_b = bounds_ops.make_backend(pct, kind="exact")
         lb_l, ub_l = _eval(lut_b, pcs, [0.1, 0.0, 0.0], 0.1, True, [0.05, 0, 0], 0.1)
         lb_e, ub_e = _eval(ex_b, pcs, [0.1, 0.0, 0.0], 0.1, True, [0.05, 0, 0], 0.1)

@@ -101,3 +101,97 @@ class TestLookup:
         q = jnp.zeros((4, 5, 3))
         out = df.lookup(field, q)
         assert out.shape == (4, 5)
+
+
+class TestRefCompat:
+    def test_ref_dims_no_plus_one(self):
+        bounds = np.array([[0, 1.0], [0, 0.5], [0, 0.25]], np.float64)
+        assert df.grid_dims(bounds, 0.1, inclusive=False) == (10, 5, 3)
+
+    def test_ref_field_stores_squared(self, cloud):
+        field = df.build(cloud, _bounds(cloud), 0.1, builder="ref")
+        plain = df.build(cloud, _bounds(cloud), 0.1, builder="brute")
+        # Same nodes where both grids exist: ref stores d^2 = plain d^2.
+        v_ref = np.asarray(field.values)
+        v_d = np.asarray(plain.values)[:v_ref.shape[0],
+                                       :v_ref.shape[1], :v_ref.shape[2]]
+        np.testing.assert_allclose(v_ref, v_d ** 2, atol=1e-5)
+
+    def test_ref_lookup_is_half_texel_shifted_sqrt(self, cloud):
+        res = 0.1
+        field = df.build(cloud, _bounds(cloud), res, builder="ref")
+        rng = np.random.default_rng(2)
+        q = rng.uniform(-0.4, 0.4, size=(64, 3)).astype(np.float32)
+        got = np.asarray(df.lookup_ref_compat(field, jnp.asarray(q)))
+        # Manual reproduction: shift by half a texel, trilinear on d^2,
+        # then sqrt — exactly the tex3D pipeline of registration.cu:320-328.
+        expect = np.sqrt(np.maximum(np.asarray(
+            df._trilinear(field, (jnp.asarray(q) - field.origin)
+                          * field.inv_res - 0.5)), 0.0))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+        # The shift means a query AT a grid node reads the interpolation
+        # halfway toward the previous nodes, not the node value itself.
+        node = np.asarray(field.origin) + np.array([3, 3, 3]) * res
+        at_node = float(df.lookup_ref_compat(
+            field, jnp.asarray(node, jnp.float32)[None])[0])
+        node_val = float(np.sqrt(np.asarray(field.values)[3, 3, 3]))
+        off_center = abs(at_node - node_val)
+        assert off_center >= 0.0  # documented skew (may be 0 in flat regions)
+
+
+class TestSoundness:
+    """EDT-built conservative LUT bounds must satisfy
+    d_lb <= true distance <= d_ub for random queries — the property the
+    round-1 default configuration violated (slack never folded in)."""
+
+    def test_edt_conservative_estimates_bracket_truth(self, cloud):
+        from fgoicp_tpu.ops import bounds as bounds_ops
+        res = 0.07
+        field = df.build(cloud, _bounds(cloud), res, builder="edt")
+        be = bounds_ops.make_backend(cloud, kind="lut", field=field)
+        assert be.conservative  # sound by default now
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.uniform(-0.7, 0.7, size=(256, 3)), jnp.float32)
+        d_ub, d_lb = bounds_ops.distance_estimates(be, q)
+        true = np.sqrt(np.asarray(
+            nn_ops.nearest_sqdist(q, jnp.asarray(cloud))))
+        assert np.all(np.asarray(d_lb) <= true + 1e-5)
+        assert np.all(np.asarray(d_ub) >= true - 1e-5)
+
+    def test_bf16_field_slack_covers_quantization(self, cloud):
+        from fgoicp_tpu.ops import bounds as bounds_ops
+        res = 0.07
+        field = df.build(cloud, _bounds(cloud), res, builder="brute",
+                         dtype=jnp.bfloat16)
+        assert float(field.slack) > 0.0  # quantization folded in
+        be = bounds_ops.make_backend(cloud, kind="lut", field=field)
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.uniform(-0.6, 0.6, size=(256, 3)), jnp.float32)
+        d_ub, d_lb = bounds_ops.distance_estimates(be, q)
+        true = np.sqrt(np.asarray(
+            nn_ops.nearest_sqdist(q, jnp.asarray(cloud))))
+        assert np.all(np.asarray(d_lb) <= true + 1e-5)
+        assert np.all(np.asarray(d_ub) >= true - 1e-5)
+
+    def test_lut_engine_bounds_bracket_true_sse(self, cloud):
+        """Whole-pipeline property: node bounds from a default-config LUT
+        engine bracket the exact SSE."""
+        from fgoicp_tpu.ops import bounds as bounds_ops
+        from fgoicp_tpu.ops import geometry as geo
+        rng = np.random.default_rng(5)
+        pcs = jnp.asarray(rng.uniform(-0.4, 0.4, size=(50, 3)), jnp.float32)
+        field = df.build(cloud, _bounds(cloud), 0.07, builder="edt")
+        be = bounds_ops.make_backend(cloud, kind="lut", field=field)
+        exact = bounds_ops.make_backend(cloud, kind="exact")
+        xyz = jnp.asarray(rng.uniform(-0.4, 0.4, size=(6, 3)), jnp.float32)
+        R = geo.quat_cube_to_matrix(xyz)
+        spans = jnp.full((6,), 0.2, jnp.float32)
+        fix = jnp.asarray([True, False, True, False, True, False])
+        tc = jnp.asarray(rng.uniform(-0.3, 0.3, size=(6, 4, 3)), jnp.float32)
+        ts = jnp.full((6, 4), 0.15, jnp.float32)
+        lb, _ = bounds_ops.evaluate_bounds(be, pcs, R, spans, fix, tc, ts)
+        # True SSE at the node center: a valid lb can never exceed it.
+        _, sse = bounds_ops.evaluate_bounds(
+            exact, pcs, R, spans, jnp.ones((6,), bool), tc,
+            jnp.zeros((6, 4), jnp.float32))
+        assert np.all(np.asarray(lb) <= np.asarray(sse) + 1e-5)

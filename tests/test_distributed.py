@@ -39,6 +39,122 @@ def _problem(seed=0, n=150, angle=2.1):
     return pct, pcs, R, t
 
 
+def test_f64_wire_roundtrip():
+    """The f32 (hi, lo) wire split carries ~48 mantissa bits (vs f32's
+    24): the decoded value matches the f64 original to ~2^-48 relative,
+    and every host decodes the SAME value from the same bytes — the two
+    properties that kill the f32-rounding termination-disagreement bug."""
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.uniform(-1e9, 1e9, size=(64,)),
+        rng.uniform(-1e-6, 1e-6, size=(64,)),
+        np.array([0.0, 1e10, -1e10, np.pi, 1.0 + 2**-40]),
+    ])
+    wire = dist.split_f64_to_f32_pairs(vals)
+    assert wire.dtype == np.float32
+    back = dist.merge_f32_pairs_to_f64(wire)
+    err = np.abs(back - vals) / np.maximum(np.abs(vals), 1e-300)
+    assert float(err.max()) < 2.0 ** -45
+    # Values with <= 48 mantissa bits roundtrip exactly (includes every
+    # f32-representable value — the heap-size and flag fields).
+    exact = np.array([0.0, 1.0, 3.0, 2.5, 1e10, -7.0, 1.0 + 2**-40])
+    np.testing.assert_array_equal(
+        dist.merge_f32_pairs_to_f64(dist.split_f64_to_f32_pairs(exact)),
+        exact)
+
+
+def _run_hosts(n_hosts, pct, pcs, engine_kw):
+    comms = dist.ThreadCommunicator.create(n_hosts)
+    models = [None] * n_hosts
+    results = [None] * n_hosts
+    errors = []
+
+    def host(rank):
+        try:
+            m = dist.MultiHostGoICP(
+                pct, pcs, comms[rank], mse_threshold=5e-4,
+                engine=std_engine(**engine_kw), bound_backend="exact")
+            models[rank] = m
+            results[rank] = m.run()
+        except Exception as e:  # pragma: no cover
+            errors.append((rank, e))
+
+    threads = [threading.Thread(target=host, args=(r,))
+               for r in range(n_hosts)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(timeout=600)
+    assert not errors, errors
+    assert all(r is not None for r in results), "a host deadlocked"
+    return models, results
+
+
+def test_multihost_imbalanced_hosts_ksync_and_stealing():
+    """4 hosts with unequal octant partitions, syncing every 3 outer
+    steps: all hosts must converge to the global optimum (no deadlock),
+    and drained hosts must pick up stolen work instead of idling."""
+    pct, pcs, R_true, t_true = _problem()
+    models, results = _run_hosts(
+        4, pct, pcs, dict(multihost_sync_every=3, multihost_steal_max=8))
+    for m in models:
+        assert m.mse < 5e-4
+    for (R, t) in results:
+        np.testing.assert_allclose(R, R_true, atol=2e-3)
+        np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert all(m.sync_rounds == models[0].sync_rounds for m in models)
+    donated = sum(m.donated_nodes for m in models)
+    stolen = sum(m.stolen_nodes for m in models)
+    assert donated == stolen  # every donated node lands in exactly one heap
+
+
+def test_work_stealing_transfers_nodes():
+    """Deterministic stealing mechanics: a busy host with 5 frontier
+    nodes and an empty idle host — one _maybe_steal round must move
+    nodes (donor keeps its best) with every node in exactly one heap."""
+    pct, pcs, _, _ = _problem(seed=2)
+    comms = dist.ThreadCommunicator.create(2)
+    models = []
+    for r in range(2):
+        m = dist.MultiHostGoICP(pct, pcs, comms[r], mse_threshold=5e-4,
+                                engine=std_engine(), bound_backend="exact")
+        m.seed_heap()
+        models.append(m)
+    # Host 0: 5 nodes with distinct lbs; host 1: empty.
+    import heapq
+    models[0]._heap = []
+    for i, lb in enumerate([0.1, 0.5, 0.3, 0.9, 0.7]):
+        heapq.heappush(models[0]._heap,
+                       (lb, i, (0.1 * i, 0.0, 0.0, 0.25, lb + 1.0)))
+    models[1]._heap = []
+    gathered = np.zeros((2, 16), np.float64)
+    gathered[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0]
+    gathered[1] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0]
+
+    errors = []
+
+    def run(rank):
+        try:
+            models[rank]._maybe_steal(gathered)
+        except Exception as e:  # pragma: no cover
+            errors.append((rank, e))
+
+    threads = [threading.Thread(target=run, args=(r,)) for r in range(2)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(timeout=60)
+    assert not errors, errors
+    assert models[0].donated_nodes == 4
+    assert models[1].stolen_nodes == 4
+    # Donor kept exactly its best node.
+    assert len(models[0]._heap) == 1
+    assert models[0]._heap[0][0] == 0.1
+    # Recipient got the other four, best-first order preserved by lb.
+    got = sorted(e[0] for e in models[1]._heap)
+    np.testing.assert_allclose(got, [0.3, 0.5, 0.7, 0.9])
+
+
 @pytest.mark.parametrize("n_hosts", [2])
 def test_multihost_matches_single_host(n_hosts):
     pct, pcs, R_true, t_true = _problem()

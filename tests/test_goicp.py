@@ -111,6 +111,28 @@ class TestGoICP:
         np.testing.assert_allclose(R, R_true, atol=1e-3)
         np.testing.assert_allclose(t, t_true, atol=1e-3)
 
+    def test_lut_backend_end_to_end(self):
+        # Default (sound, conservative) LUT engine recovers ground truth.
+        pct, pcs, R_true, t_true = _make_problem(seed=7, angle=1.7)
+        model = GoICP(pct, pcs, lut_resolution=0.05, mse_threshold=5e-4,
+                      engine=std_engine(), bound_backend="lut")
+        assert model.backend.conservative and not model.backend.ref_compat
+        R, t = model.run()
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-3)
+
+    def test_ref_compat_lut_end_to_end(self):
+        # The reference-exact LUT mode (d^2 texture, half-texel shift,
+        # registration.cu:214-234,320-328) through the whole pipeline.
+        pct, pcs, R_true, t_true = _make_problem(seed=8, angle=1.6)
+        model = GoICP(pct, pcs, lut_resolution=0.05, mse_threshold=5e-4,
+                      engine=std_engine(ref_compat_lut=True),
+                      bound_backend="lut")
+        assert model.backend.ref_compat and not model.backend.conservative
+        R, t = model.run()
+        np.testing.assert_allclose(R, R_true, atol=2e-3)
+        np.testing.assert_allclose(t, t_true, atol=2e-3)
+
     def test_trimmed_registration_with_outliers(self):
         # 20% of source points are garbage; trimming must still recover.
         pct, pcs, R_true, t_true = _make_problem(seed=4, angle=1.8, n=200)

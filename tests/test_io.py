@@ -59,6 +59,26 @@ mse_threshold = 1e-3
         assert cfg.engine.ref_compat_gamma is True
         assert cfg.engine.translation_min_span == 0.1
 
+    def test_engine_type_errors(self):
+        import pytest
+        # Wrong-typed values must raise, not silently coerce
+        # (frontier_mode=3 used to become the string "3").
+        with pytest.raises(ValueError, match="frontier_mode"):
+            Config.from_dict({"engine": {"frontier_mode": 3}})
+        with pytest.raises(ValueError, match="rotation_batch"):
+            Config.from_dict({"engine": {"rotation_batch": "8"}})
+        with pytest.raises(ValueError, match="icp_multi_start"):
+            Config.from_dict({"engine": {"icp_multi_start": 1}})
+        with pytest.raises(ValueError, match="seed"):
+            Config.from_dict({"engine": {"seed": True}})
+        with pytest.raises(ValueError, match="Unknown"):
+            Config.from_dict({"engine": {"not_a_knob": 1}})
+        # Safe widenings are allowed: int -> float, exact-int float -> int.
+        cfg = Config.from_dict({"engine": {"icp_trigger_factor": 2,
+                                           "pool_lanes": 512.0}})
+        assert cfg.engine.icp_trigger_factor == 2.0
+        assert cfg.engine.pool_lanes == 512
+
 
 class TestPly:
     def test_roundtrip_binary(self, tmp_path):

@@ -93,3 +93,50 @@ def test_malformed_returns_none(lib, tmp_path):
     p2.write_text("not-a-count\n")
     assert nloader.load_txt(str(p2)) is None
     assert nloader.load_txt(str(tmp_path / "missing.txt")) is None
+
+
+def test_huge_declared_counts_rejected(lib, tmp_path):
+    # Counts that cannot fit in the file must be rejected BEFORE any
+    # allocation: 3*4*count wraps size_t for adversarial counts and the
+    # row loop would overflow the small allocation while data remains.
+    for count in (2 ** 62, 2 ** 61 + 7, 10 ** 15):
+        p = tmp_path / "huge.txt"
+        p.write_text(f"{count}\n" + "1 2 3\n" * 50)
+        assert nloader.load_txt(str(p)) is None
+    p = tmp_path / "huge.ply"
+    p.write_bytes(
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 4611686018427387911\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"end_header\n" + b"\x00" * 120)
+    assert nloader.load_ply(str(p)) is None
+    # Same guard for a huge non-vertex element before the vertex one.
+    p2 = tmp_path / "huge2.ply"
+    p2.write_bytes(
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element face 4611686018427387911\nproperty float q\n"
+        b"element vertex 1\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"end_header\n" + b"\x00" * 120)
+    assert nloader.load_ply(str(p2)) is None
+
+
+def test_mixed_vertex_types_fall_back(lib, tmp_path):
+    # Binary PLY with x:float but y:double would be memcpy'd at the wrong
+    # width; the native loader must punt to the Python parser.
+    import struct
+    row = struct.pack("<fdf", 1.0, 2.0, 3.0)
+    p = tmp_path / "mixed.ply"
+    p.write_bytes(
+        b"ply\nformat binary_little_endian 1.0\nelement vertex 1\n"
+        b"property float x\nproperty double y\nproperty float z\n"
+        b"end_header\n" + row)
+    assert nloader.load_ply(str(p)) is None
+    # Integer-typed coordinate: same fallback.
+    row2 = struct.pack("<fif", 1.0, 2, 3.0)
+    p2 = tmp_path / "intprop.ply"
+    p2.write_bytes(
+        b"ply\nformat binary_little_endian 1.0\nelement vertex 1\n"
+        b"property float x\nproperty int y\nproperty float z\n"
+        b"end_header\n" + row2)
+    assert nloader.load_ply(str(p2)) is None
