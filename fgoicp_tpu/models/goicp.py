@@ -135,14 +135,27 @@ class GoICP:
                 self.pct, kind=bound_backend, proxy_size=proxy_size,
                 seed=e.seed)
 
+        # Search-phase ICP target: the proxy coreset when it is smaller
+        # than the full target (see _icp docstring; the incumbent sse is
+        # always re-scored exactly).
+        self._icp_search_target = None
+        if (e.icp_search_on_proxy
+                and isinstance(self.backend, bounds_ops.ProxyBackend)
+                and self.backend.coreset.points.shape[0] < self.nt):
+            self._icp_search_target = self.backend.coreset.points
+
         # Hierarchical source clusters for SEARCH bounds (config docstring).
         self.src_clusters = None
-        if (e.source_coreset > 0 and self.ns > e.source_coreset
-                and self.trim_keep is None):
+        src_k = e.source_coreset
+        if src_k < 0:  # auto (config.py rule)
+            import math as _math
+            src_k = (0 if self.ns <= 2048 else int(min(4096, max(
+                1024, 2 ** round(_math.log2(self.ns / 3))))))
+        if src_k > 0 and self.ns > src_k and self.trim_keep is None:
             from ..ops import coreset as coreset_ops
             self.src_clusters = coreset_ops.build_weighted(
-                self.pcs, size=e.source_coreset, seed=e.seed + 2)
-            log.debug(f"Source clusters: {e.source_coreset} reps, max "
+                self.pcs, size=src_k, seed=e.seed + 2)
+            log.debug(f"Source clusters: {src_k} reps, max "
                       f"radius {float(jnp.max(self.src_clusters.deltas)):.4f}")
 
         # Multi-device mesh: rotation groups shard over `cubes`, source
@@ -183,8 +196,20 @@ class GoICP:
         return self.last_rotation, self.last_translation
 
     # ------------------------------------------------------------------
-    def _icp(self, R0, t0, active, convergence):
-        """Batched ICP against the full target with exact SSE."""
+    def _icp(self, R0, t0, active, convergence, search=False):
+        """Batched ICP; the returned sse is always EXACT on the full
+        target (it feeds the pruning incumbent).
+
+        search=True routes the ICP ITERATIONS against the proxy coreset
+        when one exists (~4x fewer NN targets per iteration); the final
+        pose is then re-scored with one exact full-target NN pass, so the
+        incumbent stays a true achievable SSE and the certificate is
+        unaffected.  The pose itself may differ from a full-target ICP by
+        O(coreset radius) — irrelevant mid-search, and the final polish
+        (search=False) always runs on the full target."""
+        target = self.pct
+        if search and self.mesh is None and self._icp_search_target is not None:
+            target = self._icp_search_target
         if self.mesh is not None:
             sse, R, t = pbnb.icp_sharded(
                 self.pct, self.pcs, R0, t0, mesh=self.mesh, active=active,
@@ -192,12 +217,15 @@ class GoICP:
                 convergence_threshold=convergence, trim_keep=self.trim_keep)
         else:
             sse, R, t = icp_model.icp_batched(
-                self.pct, self.pcs, R0, t0, active=active,
+                target, self.pcs, R0, t0, active=active,
                 max_iter=self.engine.icp_max_iter,
                 convergence_threshold=convergence, trim_keep=self.trim_keep)
+            if target is not self.pct:
+                sse = icp_model.exact_sse_batched(
+                    self.pct, self.pcs, R, t, trim_keep=self.trim_keep)
         return np.asarray(sse), np.asarray(R), np.asarray(t)
 
-    def _icp_padded(self, R0, t0, n_active, convergence):
+    def _icp_padded(self, R0, t0, n_active, convergence, search=False):
         """ICP in chunks of the fixed lane width (pads the tail with
         inactive identity lanes) so every call shares one compiled
         program regardless of candidate count."""
@@ -215,7 +243,8 @@ class GoICP:
                 tc = np.concatenate([tc, np.zeros((w - k, 3), np.float32)])
             active = np.arange(w) < max(0, min(n_active - i, w))
             sse, R, t = self._icp(jnp.asarray(Rc), jnp.asarray(tc),
-                                  jnp.asarray(active), convergence)
+                                  jnp.asarray(active), convergence,
+                                  search=search)
             outs.append((sse[:k], R[:k], t[:k]))
         return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
 
@@ -224,22 +253,27 @@ class GoICP:
 
         The reference starts from identity only (fgoicp.cpp:12-14); with
         engine.icp_multi_start, one batched call additionally starts from
-        the 8 rotation-cube octant centers — the batch costs the same
-        device call, and a better incumbent prunes the whole search.
+        the 8 rotation-cube octant centers and the 6 face centers (the
+        +-90 degree rotations about each axis — scan pairs routinely sit
+        a quarter-turn apart, and a start in the right basin collapses
+        the whole BnB to a gap check).  15 starts fill one icp_width=16
+        lane batch, so the seeding costs a single device call.
         """
         if self.engine.icp_multi_start:
-            octants = np.array(
-                [[sx * 0.5, sy * 0.5, sz * 0.5]
-                 for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-                np.float32)
+            octants = [[sx * 0.5, sy * 0.5, sz * 0.5]
+                       for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+            r = 1.0 / np.sqrt(2.0)  # quaternion cube coord of a 90-deg turn
+            faces = [[s * r if a == ax else 0.0 for a in range(3)]
+                     for ax in range(3) for s in (-1, 1)]
+            starts = np.asarray(octants + faces, np.float32)
             R0 = np.concatenate([
                 np.eye(3, dtype=np.float32)[None],
-                np.asarray(geo.quat_cube_to_matrix(jnp.asarray(octants)))])
+                np.asarray(geo.quat_cube_to_matrix(jnp.asarray(starts)))])
         else:
             R0 = np.eye(3, dtype=np.float32)[None]
         t0 = np.zeros((len(R0), 3), np.float32)
         sse, R, t = self._icp_padded(
-            R0, t0, len(R0), self.engine.icp_convergence_init)
+            R0, t0, len(R0), self.engine.icp_convergence_init, search=True)
         k = int(np.argmin(sse[:len(R0)]))
         self.best_sse = float(sse[k])
         self.best_rotation, self.best_translation = R[k], t[k]
@@ -389,10 +423,27 @@ class GoICP:
 
     def _refine_candidates(self, R, children, ub, best_t):
         """Batched ICP on children passing the trigger (fgoicp.cpp:74-88),
-        compacted into fixed-width chunks (typically 1-2 triggers)."""
+        compacted into fixed-width chunks (typically 1-2 triggers).
+
+        Beyond the reference: the triggered set is topped up to a full
+        icp_width lane batch with the lowest-ub non-triggered children
+        (engine.icp_refine_best).  A batched ICP call costs the same for
+        1 lane or 16, so the extra lanes are free basin-finding attempts
+        — they break the local-minimum stall regime where a wrong-basin
+        incumbent starves the 1.8x trigger and the search grinds
+        cube-by-cube (measured 84 outer steps vs 6 on bunny when an
+        early ICP landed at sse 10.4).  Extra refinement can only
+        improve the incumbent, never weaken the certificate."""
         n = len(children)
-        trigger = ub < self.best_sse * self.engine.icp_trigger_factor
-        idxs = np.flatnonzero(trigger[:n] if len(trigger) > n else trigger)
+        trigger = ub[:n] < self.best_sse * self.engine.icp_trigger_factor
+        idxs = np.flatnonzero(trigger)
+        w = self.engine.icp_width
+        if self.engine.icp_refine_best and idxs.size < w and n > 0:
+            in_trig = np.zeros(n, bool)
+            in_trig[idxs] = True
+            fill = [int(i) for i in np.argsort(ub[:n]) if not in_trig[i]]
+            idxs = np.concatenate(
+                [idxs, np.asarray(fill[:w - idxs.size], np.int64)])
         if idxs.size == 0:
             return
         self.stats.icp_runs += int(idxs.size)
@@ -402,7 +453,8 @@ class GoICP:
             R0 = np.asarray(R[:n][chunk], np.float32)
             t0 = np.asarray(best_t[chunk], np.float32)
             sse, Ri, ti = self._icp_padded(
-                R0, t0, len(chunk), self.engine.icp_convergence_bnb)
+                R0, t0, len(chunk), self.engine.icp_convergence_bnb,
+                search=True)
             k = int(np.argmin(sse[:len(chunk)]))
             if sse[k] < self.best_sse:
                 self.best_sse = float(sse[k])

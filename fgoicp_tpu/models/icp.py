@@ -36,6 +36,8 @@ class ICPState(NamedTuple):
     last_R: jnp.ndarray    # [G, 3, 3]
     last_t: jnp.ndarray    # [G, 3]
     cur: jnp.ndarray       # [G, ns, 3] transformed source
+    d2: jnp.ndarray        # [G, ns] NN sq-distances of `cur` (carried)
+    idx: jnp.ndarray       # [G, ns] NN indices of `cur` (carried)
     done: jnp.ndarray      # [G] bool
 
 
@@ -118,15 +120,19 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
 
     def body(s: ICPState) -> ICPState:
         run = ~s.done
-        # Correspondences on the current (pre-update) points (icp3d.cu:146).
-        d2c, idx = nn_query(s.cur)
-        corr = gather_corr(idx)  # [G, ns, 3]
-        R_, t_ = proc_ops.procrustes(s.cur, corr, mask=trim_mask(d2c))
+        # Correspondences on the current (pre-update) points (icp3d.cu:146)
+        # — carried from the previous iteration's single NN pass: the
+        # reference queries NN twice per iteration (correspondences, then
+        # exact SSE of the updated pose, icp3d.cu:99-103), but the SSE
+        # query of iteration k IS the correspondence query of iteration
+        # k+1, so one pass per iteration computes identical values.
+        corr = gather_corr(s.idx)  # [G, ns, 3]
+        R_, t_ = proc_ops.procrustes(s.cur, corr, mask=trim_mask(s.d2))
         new_cur = jnp.einsum("grc,gnc->gnr", R_, s.cur, precision=jax.lax.Precision.HIGHEST) + t_[:, None, :]
         new_R = jnp.einsum("gab,gbc->gac", R_, s.R, precision=jax.lax.Precision.HIGHEST)
         new_t = jnp.einsum("gab,gb->ga", R_, s.t, precision=jax.lax.Precision.HIGHEST) + t_
-        d2, _ = nn_query(new_cur)
-        new_sse = trimmed_sum(d2)
+        d2n, idxn = nn_query(new_cur)
+        new_sse = trimmed_sum(d2n)
 
         sse = _masked(run, new_sse, s.sse)
         last_sse = _masked(run, s.sse, s.last_sse)
@@ -135,12 +141,16 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
         last_R = _masked(run, s.R, s.last_R)
         last_t = _masked(run, s.t, s.last_t)
         cur = _masked(run, new_cur, s.cur)
+        d2 = _masked(run, d2n, s.d2)
+        idx = _masked(run, idxn, s.idx)
         # Reference loop guard: continue while
         # (last_sse - sse) > threshold * last_sse (icp3d.cu:94).
         conv = (last_sse - sse) <= convergence_threshold * last_sse
         done = s.done | (run & conv)
-        return ICPState(s.it + 1, sse, last_sse, R, t, last_R, last_t, cur, done)
+        return ICPState(s.it + 1, sse, last_sse, R, t, last_R, last_t,
+                        cur, d2, idx, done)
 
+    d2_0, idx_0 = nn_query(cur0)
     init = ICPState(
         it=jnp.int32(0),
         sse=jnp.full((g,), BIG, jnp.float32),
@@ -148,6 +158,7 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
         R=R0, t=t0,
         last_R=R0, last_t=t0,
         cur=cur0,
+        d2=d2_0, idx=idx_0,
         done=~active,
     )
 
@@ -162,6 +173,25 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     R = _masked(better, final.R, final.last_R)
     t = _masked(better, final.t, final.last_t)
     return sse, R, t
+
+
+@functools.partial(jax.jit, static_argnames=("trim_keep",))
+def exact_sse_batched(pct, pcs, R, t, trim_keep=None):
+    """Exact (optionally trimmed) SSE of G poses against the full target.
+
+    One NN pass — used to re-anchor incumbents produced by proxy-target
+    search ICPs on the true objective (models/goicp.py)."""
+    pct = jnp.asarray(pct, jnp.float32)
+    pcs = jnp.asarray(pcs, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    g, ns = R.shape[0], pcs.shape[0]
+    cur = jnp.einsum("grc,nc->gnr", R, pcs,
+                     precision=jax.lax.Precision.HIGHEST) \
+        + jnp.asarray(t, jnp.float32)[:, None, :]
+    d2 = nn_ops.nearest_sqdist(cur.reshape(g * ns, 3), pct).reshape(g, ns)
+    if trim_keep is not None and trim_keep < ns:
+        return -jnp.sum(jax.lax.top_k(-d2, trim_keep)[0], axis=-1)
+    return jnp.sum(d2, axis=-1)
 
 
 def icp_register(pct, pcs, R0=None, t0=None, max_iter: int = 100,

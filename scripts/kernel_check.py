@@ -1,0 +1,77 @@
+"""Validate the fused Pallas lane kernel against the XLA composition on
+the REAL device for several source sizes (catches Mosaic tiling bugs the
+interpret-mode emulator cannot see).
+
+    python scripts/kernel_check.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fgoicp_tpu.io import load_cloud
+    from fgoicp_tpu.ops import bounds as bounds_ops
+    from fgoicp_tpu.ops import coreset
+    from fgoicp_tpu.ops import geometry as geo
+    from fgoicp_tpu.ops import pallas_bounds
+    from fgoicp_tpu.ops.pool_frontier import _eval_lanes_xla
+
+    pcs_r = load_cloud("/root/reference/data/bunny/data_bunny.txt", 0.1,
+                       seed=1)
+    pct_r = load_cloud("/root/reference/data/bunny/model_bunny.txt", 0.5,
+                       seed=0)
+    norm = geo.Normalization(pct_r, pcs_r)
+    src, tgt = norm.pcs, norm.pct
+    backend = bounds_ops.make_backend(tgt, kind="proxy", proxy_size=4096)
+    slack = backend.coreset.eps + jnp.float32(backend.eps_rank)
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    for k in (512, 1024, 1536, 2048, 3037):
+        if k < src.shape[0]:
+            cl = coreset.build_weighted(src, size=k, seed=2)
+            pts, w, d = cl.reps, cl.weights, cl.deltas
+        else:
+            pts, w, d = src, None, None
+        g = 6
+        xyz = jnp.asarray(rng.uniform(-0.5, 0.5, size=(g, 3)), jnp.float32)
+        R = geo.quat_cube_to_matrix(xyz)
+        spans = jnp.full((g,), 0.125, jnp.float32)
+        fix = jnp.asarray([True, False] * 3)
+        base = jnp.einsum("grc,nc->gnr", R, pts,
+                          precision=jax.lax.Precision.HIGHEST)
+        norms = jnp.linalg.norm(pts, axis=-1)
+        gam_ub, gam_lb = bounds_ops.gamma_arrays(norms, spans, fix,
+                                                 point_deltas=d)
+        L = 64
+        gids = jnp.asarray(rng.integers(0, g, size=(L,)), jnp.int32)
+        t_lanes = jnp.asarray(rng.uniform(-0.3, 0.3, size=(L, 3)),
+                              jnp.float32)
+        gam_t = geo.translation_uncertainty_radius(jnp.full((L,), 0.125))
+        lb_k, ub_k = pallas_bounds.fused_bounds_lanes(
+            base, gids, t_lanes, backend.coreset.points, gam_ub, gam_t,
+            slack, point_weights=w, gam_lb=gam_lb,
+            interpret=(jax.default_backend() != "tpu"))
+        lb_x, ub_x = _eval_lanes_xla(backend, base, gids, t_lanes, gam_ub,
+                                     gam_lb, gam_t, w, None)
+        dl = float(jnp.max(jnp.abs(lb_k - lb_x)))
+        du = float(jnp.max(jnp.abs(ub_k - ub_x)))
+        rel = max(dl, du) / max(float(jnp.max(ub_x)), 1e-9)
+        ok = rel < 1e-4
+        failures += (not ok)
+        print(f"ns={k}: |lb diff|={dl:.6f} |ub diff|={du:.6f} "
+              f"rel={rel:.2e} {'OK' if ok else 'MISMATCH'}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--rotation-batch", type=int, default=16)
     ap.add_argument("--icp-max-iter", type=int, default=100)
     ap.add_argument("--icp-width", type=int, default=8)
+    ap.add_argument("--pool-capacity", type=int, default=32768)
+    ap.add_argument("--no-multi-start", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
@@ -67,7 +69,9 @@ def main():
                        pool_lanes=args.pool_lanes,
                        rotation_batch=args.rotation_batch,
                        icp_max_iter=args.icp_max_iter,
-                       icp_width=args.icp_width)
+                       icp_width=args.icp_width,
+                       pool_capacity=args.pool_capacity,
+                       icp_multi_start=not args.no_multi_start)
     for run in range(args.runs):
         model = GoICP(pct, pcs, mse_threshold=1e-3, engine=eng,
                       proxy_size=args.proxy_size)
@@ -80,6 +84,8 @@ def main():
                "mse": float(model.mse), "sse": float(model.best_sse),
                "nodes": model.stats.translation_nodes,
                "inner_steps": model.stats.inner_loop_steps,
+               "dropped": model.stats.dropped_nodes,
+               "outer_steps": model.stats.outer_steps,
                "icp_runs": model.stats.icp_runs,
                "phases_s": {k: round(v, 3) for k, v in acc.items()},
                "other_s": round(other, 3), **counts}
