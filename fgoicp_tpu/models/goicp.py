@@ -65,8 +65,10 @@ BIG = 1e10  # reference M_INF (common.hpp:18)
 class GoICPStats:
     rotation_nodes: int = 0        # outer nodes expanded
     rotation_children: int = 0     # in-SO(3) children evaluated
+    rotation_pruned: int = 0       # children discarded by lb >= best_sse
     translation_nodes: int = 0     # inner bound evaluations (ref: count)
     icp_runs: int = 0
+    icp_triggered: int = 0         # children passing the 1.8x trigger
     outer_steps: int = 0
     inner_loop_steps: int = 0
     dropped_nodes: int = 0
@@ -437,6 +439,7 @@ class GoICP:
         n = len(children)
         trigger = ub[:n] < self.best_sse * self.engine.icp_trigger_factor
         idxs = np.flatnonzero(trigger)
+        self.stats.icp_triggered += int(idxs.size)
         w = self.engine.icp_width
         if self.engine.icp_refine_best and idxs.size < w and n > 0:
             in_trig = np.zeros(n, bool)
@@ -548,6 +551,7 @@ class GoICP:
             self._refine_candidates(R, chunk, ub, best_t)
             for k, (cx, cy, cz, cspan) in enumerate(chunk):
                 if lb[k] >= self.best_sse:  # fgoicp.cpp:92
+                    self.stats.rotation_pruned += 1
                     continue
                 heapq.heappush(
                     self._heap,

@@ -111,6 +111,42 @@ class TestGoICP:
         np.testing.assert_allclose(R, R_true, atol=1e-3)
         np.testing.assert_allclose(t, t_true, atol=1e-3)
 
+    def test_production_config_certificate(self):
+        """Run the EXACT production search configuration — reference span
+        cutoffs 0.05/0.1 and the 1.8 ICP trigger (fgoicp.cpp:53,74,155),
+        multi-start off so the BnB does the work — and assert ground-truth
+        recovery plus evidence that the certificate machinery actually
+        engaged (at least one outer prune; the trigger made a non-trivial
+        decision).  Round-1 gap: the suite only exercised coarse spans +
+        an always-on trigger, so a production-path bug was invisible."""
+        from fgoicp_tpu.config import EngineConfig
+        pct, pcs, R_true, t_true = _make_problem(seed=9, angle=2.0, n=120)
+        # Per-point noise on the source makes the optimum strictly
+        # positive; with a threshold below the noise floor the gap can
+        # never close for free, so the BnB must certify by PRUNING the
+        # rotation tree (lb >= best_sse) down to the span cutoffs.
+        rng = np.random.default_rng(10)
+        pcs = pcs + rng.normal(scale=0.008, size=pcs.shape).astype(np.float32)
+        eng = EngineConfig(
+            rotation_batch=2, pool_lanes=64, pool_capacity=4096,
+            icp_multi_start=False)
+        # Production search semantics must be the dataclass defaults.
+        assert eng.rotation_min_span == 0.05
+        assert eng.translation_min_span == 0.1
+        assert eng.icp_trigger_factor == 1.8
+        model = GoICP(pct, pcs, mse_threshold=1e-5, engine=eng,
+                      bound_backend="exact")
+        R, t = model.run()
+        assert model.mse < 3e-4  # noise floor ~ sigma^2 * 3
+        np.testing.assert_allclose(R, R_true, atol=5e-3)
+        np.testing.assert_allclose(t, t_true, atol=5e-3)
+        s = model.stats
+        assert s.rotation_pruned > 0, "no outer-cube prune ever fired"
+        assert s.icp_triggered > 0, "the 1.8x trigger never fired"
+        assert s.icp_triggered < s.rotation_children, \
+            "trigger fired for every child (trivial decision)"
+        assert s.translation_nodes > 0
+
     def test_lut_backend_end_to_end(self):
         # Default (sound, conservative) LUT engine recovers ground truth.
         pct, pcs, R_true, t_true = _make_problem(seed=7, angle=1.7)
