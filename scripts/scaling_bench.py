@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     p.add_argument("--nt", type=int, default=8192, help="target points")
     p.add_argument("--lanes", type=int, default=512,
                    help="pool lanes per shard")
+    p.add_argument("--proxy", type=int, default=4096, help="proxy points")
+    p.add_argument("--max-steps", type=int, default=400)
     args = p.parse_args(argv)
 
     import jax
@@ -56,7 +58,8 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(0)
     pct = jnp.asarray(rng.uniform(-0.9, 0.9, (args.nt, 3)), jnp.float32)
     pcs = jnp.asarray(rng.uniform(-0.7, 0.7, (args.ns, 3)), jnp.float32)
-    backend = bounds_ops.make_backend(pct, kind="proxy", proxy_size=4096)
+    backend = bounds_ops.make_backend(pct, kind="proxy",
+                                      proxy_size=args.proxy)
     g = args.groups
     xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (g, 3)), jnp.float32)
     R = geo.quat_cube_to_matrix(xyz)
@@ -74,7 +77,7 @@ def main(argv=None) -> int:
             st = pbnb.bnb_r3_pooled_sharded(
                 backend, pcs, R, spans, fix, jnp.float32(1e9),
                 jnp.float32(1e-3), mesh=mesh, lanes=args.lanes,
-                capacity=args.lanes * 16, max_steps=400)
+                capacity=args.lanes * 16, max_steps=args.max_steps)
             jax.block_until_ready(st)
             return int(np.asarray(st.evaluated).sum())
 
