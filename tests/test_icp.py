@@ -126,3 +126,80 @@ class TestICP:
             convergence_threshold=0.005)
         assert float(sse) < 1e-6
         np.testing.assert_allclose(np.asarray(Rg), np.eye(3), atol=1e-3)
+
+
+class TestExactSse:
+    def test_matches_manual_sse(self):
+        rng = np.random.default_rng(7)
+        pct = jnp.asarray(rng.uniform(-1, 1, (90, 3)), jnp.float32)
+        pcs = jnp.asarray(rng.uniform(-1, 1, (40, 3)), jnp.float32)
+        R = jnp.stack([jnp.asarray(_random_rotation(rng)) for _ in range(3)])
+        t = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3)), jnp.float32)
+        got = np.asarray(icp_model.exact_sse_batched(pct, pcs, R, t))
+        for g in range(3):
+            cur = np.asarray(pcs) @ np.asarray(R[g]).T + np.asarray(t[g])
+            d2 = ((cur[:, None, :] - np.asarray(pct)[None]) ** 2).sum(-1)
+            expect = d2.min(axis=1).sum()
+            np.testing.assert_allclose(got[g], expect, rtol=1e-5)
+
+    def test_trimmed(self):
+        rng = np.random.default_rng(8)
+        pct = jnp.asarray(rng.uniform(-1, 1, (50, 3)), jnp.float32)
+        pcs = jnp.asarray(rng.uniform(-1, 1, (20, 3)), jnp.float32)
+        R = jnp.eye(3)[None]
+        t = jnp.zeros((1, 3))
+        got = float(icp_model.exact_sse_batched(pct, pcs, R, t,
+                                                trim_keep=15)[0])
+        d2 = ((np.asarray(pcs)[:, None] - np.asarray(pct)[None]) ** 2) \
+            .sum(-1).min(axis=1)
+        np.testing.assert_allclose(got, np.sort(d2)[:15].sum(), rtol=1e-5)
+
+
+class TestSearchOnProxyInvariant:
+    def test_incumbent_sse_is_exact(self):
+        """With search ICPs iterating on the proxy coreset, the engine's
+        claimed best_sse must still equal the EXACT full-target SSE of
+        the returned pose (the certificate depends on it)."""
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from util import std_engine
+        from fgoicp_tpu.models.goicp import GoICP
+        rng = np.random.default_rng(9)
+        s = rng.uniform(0.0, 4.5, size=(200,))
+        pct = np.stack([np.cos(s), 0.7 * np.sin(2 * s),
+                        0.4 * np.sin(3 * s + 0.5)], axis=1).astype(np.float32)
+        ang = 1.2
+        c0, s0 = np.cos(ang), np.sin(ang)
+        R_true = np.array([[c0, -s0, 0], [s0, c0, 0], [0, 0, 1]], np.float32)
+        t_true = np.array([0.1, -0.05, 0.08], np.float32)
+        pcs = (pct[:120] - t_true) @ R_true
+        m = GoICP(pct, pcs, mse_threshold=5e-4,
+                  engine=std_engine(icp_search_on_proxy=True),
+                  bound_backend="proxy", proxy_size=64)
+        assert m._icp_search_target is not None  # proxy < target: active
+        m.run()
+        exact = float(icp_model.exact_sse_batched(
+            m.pct, m.pcs, jnp.asarray(m.best_rotation)[None],
+            jnp.asarray(m.best_translation)[None])[0])
+        np.testing.assert_allclose(m.best_sse, exact, rtol=1e-4, atol=1e-7)
+
+
+def test_auto_source_coreset_rule():
+    from fgoicp_tpu.config import EngineConfig
+    from fgoicp_tpu.models.goicp import GoICP
+    rng = np.random.default_rng(10)
+    # Small source: auto keeps clusters OFF.
+    pct = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    pcs = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    m = GoICP(pct, pcs, engine=EngineConfig())
+    assert m.src_clusters is None
+    # Large source: auto builds K = 2^round(log2(ns/3)) clusters.
+    pcs_big = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
+    m2 = GoICP(pct, pcs_big, engine=EngineConfig())
+    assert m2.src_clusters is not None
+    assert m2.src_clusters.reps.shape[0] == 1024
+    # Explicit 0 disables; explicit K wins over auto.
+    m3 = GoICP(pct, pcs_big, engine=EngineConfig(source_coreset=0))
+    assert m3.src_clusters is None
+    m4 = GoICP(pct, pcs_big, engine=EngineConfig(source_coreset=512))
+    assert m4.src_clusters.reps.shape[0] == 512
