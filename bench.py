@@ -83,8 +83,8 @@ def _known_transform_pair(cloud, n_target, n_source, seed=5, angle=1.8):
 
 def _run_workload(name, pct, pcs, ref_seconds, engine=None, runs=2,
                   check=None, **goicp_kw):
-    """Run `runs` times (first = cold), report the last; returns the
-    JSON-line dict or None on failure."""
+    """Run `runs` times (first = cold), report the last; always returns
+    the JSON-line dict (a failed check sets converged: false)."""
     from fgoicp_tpu.config import EngineConfig
     from fgoicp_tpu.models.goicp import GoICP
 
@@ -140,11 +140,9 @@ def bench_skull(lines):
     # the run in ~0.4 s — real, but it benchmarks ICP, not the search).
     for tag, coreset in (("full_source", 0), ("source_coreset", 2048)):
         eng = EngineConfig(icp_multi_start=False, source_coreset=coreset)
-        line = _run_workload(
+        lines.append(_run_workload(
             f"skull_known_transform_{tag}", pct, pcs, CPU_CLASS_SECONDS,
-            engine=eng, mse_threshold=1e-3, check=check)
-        if line:
-            lines.append(line)
+            engine=eng, mse_threshold=1e-3, check=check))
 
 
 def bench_dragon(lines):
@@ -162,11 +160,9 @@ def bench_dragon(lines):
         return model.mse <= 1e-3 * 1.0001 or model.best_sse <= \
             model.sse_threshold * 1.0001
 
-    line = _run_workload(
+    lines.append(_run_workload(
         "dragon_trimmed", pct, pcs, CPU_CLASS_SECONDS,
-        mse_threshold=1e-3, trim_fraction=0.3, check=check)
-    if line:
-        lines.append(line)
+        mse_threshold=1e-3, trim_fraction=0.3, check=check))
 
 
 def bench_bunny(lines):
@@ -186,16 +182,13 @@ def bench_bunny(lines):
     # BnB must do the work (the default engine's 15-start seeding lands
     # the global basin and reduces the run to ICP + a gap check —
     # legitimate, but it benchmarks seeding, not the search).
-    line = _run_workload(
+    lines.append(_run_workload(
         "bunny_bnb_search", pct, pcs, CPU_CLASS_SECONDS,
         engine=EngineConfig(icp_multi_start=False),
-        mse_threshold=1e-3, check=check)
-    if line:
-        lines.append(line)
-    line = _run_workload(
+        mse_threshold=1e-3, check=check))
+    lines.append(_run_workload(
         "bunny_time_to_global_optimum", pct, pcs, CPU_CLASS_SECONDS,
-        mse_threshold=1e-3, check=check)
-    lines.append(line)
+        mse_threshold=1e-3, check=check))
 
 
 def main():

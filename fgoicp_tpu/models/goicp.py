@@ -186,6 +186,12 @@ class GoICP:
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
+        # Twin incumbent sharing map, constant for the run: each lb-pass
+        # group [G:2G) points at its fixed-rotation twin.  Built once —
+        # eager array ops are tunnel roundtrips on remote-attached TPUs.
+        self._share = jnp.concatenate([
+            jnp.full((self.n_groups,), -1, jnp.int32),
+            jnp.arange(self.n_groups, dtype=jnp.int32)])
 
     # ----- reference-parity getters (fgoicp.hpp:32-43) -----
     def get_best_error(self):
@@ -362,9 +368,7 @@ class GoICP:
             search_pcs, pw, pd = self.pcs, None, None
         # Each lb-pass group [g:2g) may adopt its fixed-rotation twin's
         # incumbent (relaxed objective <= fixed objective pointwise).
-        share = jnp.concatenate([
-            jnp.full((g,), -1, jnp.int32),
-            jnp.arange(g, dtype=jnp.int32)])
+        share = self._share
 
         if self.mesh is not None and e.frontier_mode == "pooled":
             st = pbnb.bnb_r3_pooled_sharded(

@@ -182,15 +182,21 @@ def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
     candidates, an all-gather + second top-k selects the true global
     largest, and their sum is subtracted from the psum'd total —
     equivalent to a single-device top-k over the full point set.  With
-    trimming, `point_weights` must be a 0/1 padding mask (weight-0 lanes
-    are excluded from both the total and the drop candidates) and
-    `trim_ns` must give the GLOBAL count of real (weight-1) points.
+    trimming, the drop candidates are the WEIGHTED terms (pt * w), so
+    with a 0/1 padding mask — the only combination the engine produces;
+    clusters and trimming are mutually exclusive upstream — the result
+    equals exact trimming over the real lanes, and with general weights
+    it is still the well-defined "total minus the n_drop largest
+    weighted terms" (total and drops use the same quantity, so the
+    subtraction can never exceed the weighted total it came from).
+    `trim_ns` must give the GLOBAL count of real (weight>0) points.
     """
     ns_local = pt.shape[-1]
     if point_weights is not None:
         w = jnp.asarray(point_weights, jnp.float32)
         w = jnp.broadcast_to(w, pt.shape[-1:])
-        total = jnp.sum(pt * w, axis=-1)
+        pt = pt * w
+        total = jnp.sum(pt, axis=-1)
         masked = jnp.where(w > 0, pt, -jnp.float32(nn_ops.BIG))
     else:
         total = jnp.sum(pt, axis=-1)

@@ -16,11 +16,11 @@ incumbent a host prunes against is at most that many outer steps old —
 a stale incumbent is merely HIGHER, so pruning stays sound) before the
 next collective.  Every decision taken at a sync point — termination,
 incumbent adoption, donor/recipient selection for work stealing — is a
-PURE FUNCTION of the gathered matrix, so all hosts always agree; and the
-wire format is lossless for float64 (JaxProcessCommunicator splits each
-f64 into an exact f32 (hi, lo) pair), so no host can disagree with
-another about a threshold comparison by rounding.  Global termination
-fires when
+PURE FUNCTION of the gathered matrix, so all hosts always agree (that
+purity, not wire precision, is the deadlock protection); the wire
+additionally carries each f64 as an (hi, lo) f32 pair, preserving ~48
+mantissa bits so decoded values track the sender's to ~2^-48 relative.
+Global termination fires when
     min_h(best_sse_h) - min_h(local_min_lb_h) <= sse_threshold,
 which also covers the all-heaps-empty case (min_lb = +inf).
 
@@ -53,12 +53,17 @@ _MSG_LEN = 16
 
 
 def split_f64_to_f32_pairs(vec: np.ndarray) -> np.ndarray:
-    """[L] f64 -> [2L] f32 (hi, lo) such that hi + lo == vec exactly.
+    """[L] f64 -> [2L] f32 (hi, lo) with hi + lo ~= vec to ~2^-48
+    relative (the lo residual is itself f32-rounded, so ~48-49 of the 52
+    f64 mantissa bits survive — not bitwise lossless).
 
     The jax.distributed all-gather wire is float32; a single-rounded
     best_sse lets hosts disagree about threshold comparisons near the
-    convergence boundary and deadlock in the collective.  The classic
-    double-single split keeps the full f64 value across the f32 wire.
+    convergence boundary and deadlock in the collective.  The
+    double-single split makes the wire error negligible (2^-48 vs
+    f32's 2^-24); the actual deadlock protection is structural — every
+    termination decision is a pure function of the DECODED matrix, which
+    all hosts share bit-for-bit regardless of encode precision.
     """
     vec = np.asarray(vec, np.float64)
     hi = vec.astype(np.float32)

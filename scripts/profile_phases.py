@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--proxy-size", type=int, default=4096)
     ap.add_argument("--rotation-batch", type=int, default=16)
     ap.add_argument("--icp-max-iter", type=int, default=100)
-    ap.add_argument("--icp-width", type=int, default=8)
+    ap.add_argument("--icp-width", type=int, default=16)  # engine default
     ap.add_argument("--pool-capacity", type=int, default=32768)
     ap.add_argument("--no-multi-start", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
