@@ -186,6 +186,13 @@ def bench_bunny(lines):
         "bunny_bnb_search", pct, pcs, CPU_CLASS_SECONDS,
         engine=EngineConfig(icp_multi_start=False),
         mse_threshold=1e-3, check=check))
+    # Same search with the outer SO(3) loop ON DEVICE (one jitted call
+    # for the whole nested BnB, ops/so3_frontier.py) — amortizes the
+    # per-outer-step dispatch cost.
+    lines.append(_run_workload(
+        "bunny_bnb_search_device_outer", pct, pcs, CPU_CLASS_SECONDS,
+        engine=EngineConfig(icp_multi_start=False, outer_mode="device"),
+        mse_threshold=1e-3, check=check))
     lines.append(_run_workload(
         "bunny_time_to_global_optimum", pct, pcs, CPU_CLASS_SECONDS,
         mse_threshold=1e-3, check=check))

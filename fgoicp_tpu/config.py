@@ -103,6 +103,17 @@ class EngineConfig:
     # 'grouped' = per-group lockstep frontiers (the multi-device sharded
     # path currently uses this).
     frontier_mode: str = "pooled"
+    # Outer SO(3) loop placement: 'host' (default) keeps the cheap
+    # sequential heap on host — supports checkpoint/resume, incumbent
+    # history, and multi-host partitioning; 'device' runs the ENTIRE
+    # nested search (outer octree + inner pools + ICP refinements) in
+    # one jitted while_loop (ops/so3_frontier.py) — one device call per
+    # registration, amortizing the ~30 ms per-outer-step dispatch cost
+    # that dominates deep searches on remote-attached TPUs.
+    outer_mode: str = "host"
+    # Fixed capacity of the device SO(3) frontier (outer_mode='device');
+    # overflow is certificate-safe (dropped-lb clamp) but slows search.
+    so3_capacity: int = 16384
     pool_lanes: int = 1024        # nodes evaluated per pooled step
     pool_capacity: int = 32768    # pooled frontier capacity
     # ICP (fgoicp.cpp:12,22,76).

@@ -106,6 +106,13 @@ class GoICP:
                     f"{name} cloud needs at least 3 points, got {pc.shape[0]}")
             if not np.all(np.isfinite(pc)):
                 raise ValueError(f"{name} cloud contains NaN/inf values")
+        if self.engine.outer_mode not in ("host", "device"):
+            raise ValueError(
+                f"Unknown outer_mode: {self.engine.outer_mode!r}")
+        if self.engine.outer_mode == "device" and self.engine.checkpoint_path:
+            raise ValueError(
+                "outer_mode='device' runs the whole BnB in one device "
+                "call and cannot checkpoint; use outer_mode='host'")
         self.ns, self.nt = len(pcs), len(pct)
         self.norm = geo.Normalization(pct, pcs)
         self.pct = self.norm.pct   # normalized target, on device
@@ -486,6 +493,10 @@ class GoICP:
     def load_checkpoint(self, path: str):
         """Restore a checkpoint saved against the same cloud pair; the next
         run() skips the initial ICP and resumes the outer BnB loop."""
+        if self.engine.outer_mode == "device":
+            raise ValueError(
+                "outer_mode='device' cannot resume a host-heap "
+                "checkpoint; use outer_mode='host'")
         st = ckpt.load(path, fingerprint=self._fingerprint)
         self.best_sse = st["best_sse"]
         self.best_rotation = st["best_rotation"]
@@ -567,9 +578,62 @@ class GoICP:
 
     def _branch_and_bound_so3(self):
         """Outer loop (fgoicp.cpp:32-100), batched over rotation nodes."""
+        if self.engine.outer_mode == "device":
+            return self._bnb_so3_device()
         self.seed_heap()
         while self._heap and not self.outer_converged():
             self.outer_step()
+        return self.best_sse
+
+    def _bnb_so3_device(self):
+        """Whole nested BnB as ONE device call (ops/so3_frontier.py).
+
+        Amortizes the per-outer-step dispatch cost; trades away
+        checkpoint/resume, incumbent history, and multi-host support
+        (those stay host-mode features)."""
+        from ..ops import so3_frontier as so3_ops
+        e = self.engine
+        if self.mesh is not None:
+            raise ValueError(
+                "outer_mode='device' does not support mesh sharding; "
+                "use outer_mode='host' with mesh_cubes/mesh_points")
+        if self.src_clusters is not None:
+            search_pcs = self.src_clusters.reps
+            pw, pd = self.src_clusters.weights, self.src_clusters.deltas
+        else:
+            search_pcs, pw, pd = self.pcs, None, None
+        st = so3_ops.so3_bnb_device(
+            self.backend, self.pct, self.pcs, search_pcs,
+            jnp.float32(self.best_sse),
+            jnp.asarray(self.best_rotation, jnp.float32),
+            jnp.asarray(self.best_translation, jnp.float32),
+            jnp.float32(self.sse_threshold),
+            point_weights=pw, point_deltas=pd,
+            rotation_batch=e.rotation_batch, capacity=e.so3_capacity,
+            rotation_min_span=e.rotation_min_span,
+            translation_min_span=e.translation_min_span,
+            pool_lanes=e.pool_lanes, pool_capacity=e.pool_capacity,
+            ref_compat_gamma=e.ref_compat_gamma,
+            icp_width=e.icp_width, icp_max_iter=e.icp_max_iter,
+            icp_convergence=jnp.float32(e.icp_convergence_bnb),
+            icp_trigger_factor=e.icp_trigger_factor,
+            icp_search_target=self._icp_search_target,
+            trim_keep=self.trim_keep)
+        if float(st.best_sse) < self.best_sse:
+            self.best_sse = float(st.best_sse)
+            self.best_rotation = np.asarray(st.best_R)
+            self.best_translation = np.asarray(st.best_t)
+            self._record_improvement()
+        self.last_rotation = np.asarray(st.best_R)
+        self.last_translation = np.asarray(st.best_t)
+        self.stats.outer_steps += int(st.outer_steps)
+        self.stats.rotation_nodes += int(st.outer_steps) * e.rotation_batch
+        self.stats.rotation_children += int(st.children_evaluated)
+        self.stats.translation_nodes += int(st.inner_nodes)
+        self.stats.icp_runs += int(st.icp_runs)
+        self.stats.icp_triggered += int(st.icp_runs)
+        self.stats.rotation_pruned += int(st.pruned)
+        self._heap = []
         return self.best_sse
 
     # ------------------------------------------------------------------

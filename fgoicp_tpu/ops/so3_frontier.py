@@ -1,0 +1,221 @@
+"""Fully on-device nested Go-ICP BnB: the outer SO(3) loop as a device
+frontier (2-level frontier, opt-in via EngineConfig.outer_mode="device").
+
+The default engine keeps the outer loop on host (models/goicp.py): a
+host heap is cheap at the usual 5-10 outer steps and supports
+checkpoint/resume, incumbent history, and multi-host partitioning.  But
+every outer step pays a fixed ~30 ms device-call cost (dispatch +
+argument staging through remote-attached TPUs), which dominates hard
+searches that take tens to hundreds of outer steps.  This module moves
+the ENTIRE nested search — outer SO(3) octree, inner R^3 pooled BnB,
+and the batched ICP refinements — into ONE jitted lax.while_loop, so a
+full registration is a single device call regardless of outer depth.
+
+Semantics parity with the host loop (and thus with the reference,
+/root/reference/fgoicp/fgoicp.cpp:32-100):
+  * best-first pop of `rotation_batch` cubes per outer iteration;
+  * octree split, min-span cutoff (children below rotation_min_span are
+    dropped WITH their parent, fgoicp.cpp:53);
+  * SO(3) membership tests: children overlapping-but-outside re-enter
+    the frontier with the parent's lb, unevaluated (reference quirk,
+    fgoicp.cpp:61-66); non-overlapping children are discarded;
+  * inner pooled BnB evaluates ub (fix_rot) and lb passes for all
+    in-SO(3) children of the batch in one shared pool, with twin
+    incumbent sharing and hierarchical source clusters when configured;
+  * lane-filled ICP refinement: the icp_width lowest-ub children
+    refine each outer iteration (a superset of the reference's 1.8x
+    trigger, models/goicp.py:_refine_candidates rationale), iterating
+    on the proxy coreset with an exact full-target re-score when
+    enabled;
+  * pruning lb >= best_sse (fgoicp.cpp:92) and gap termination
+    best_sse - min_lb <= sse_threshold (fgoicp.cpp:44-47).
+
+Certificate under capacity overflow: like the inner pools, the SO(3)
+frontier is fixed-capacity; the minimum lb ever dropped is tracked and
+folded into the termination gap, so overflow can only delay
+convergence, never void optimality.
+
+Not supported in device mode (use the host loop): checkpoint/resume,
+per-improvement history, multi-host partitioning, mesh sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import bounds as bounds_ops
+from . import geometry as geo
+from . import pool_frontier
+from ..models import icp as icp_model
+
+INVALID = jnp.float32(1e30)
+BIG = jnp.float32(1e10)
+
+
+class SO3State(NamedTuple):
+    lbs: jnp.ndarray       # [C] (INVALID = empty slot)
+    ubs: jnp.ndarray       # [C] stored child ub (observability only)
+    coords: jnp.ndarray    # [C, 3] quaternion-cube centers
+    spans: jnp.ndarray     # [C] half-spans
+    best_sse: jnp.ndarray  # scalar incumbent
+    best_R: jnp.ndarray    # [3, 3]
+    best_t: jnp.ndarray    # [3]
+    dropped_lb: jnp.ndarray   # scalar: min lb lost to frontier overflow
+    outer_steps: jnp.ndarray
+    children_evaluated: jnp.ndarray
+    inner_nodes: jnp.ndarray
+    icp_runs: jnp.ndarray
+    pruned: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rotation_batch", "capacity", "max_outer", "rotation_min_span",
+    "translation_min_span", "pool_lanes", "pool_capacity",
+    "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep"))
+def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
+                   best_t0, sse_threshold,
+                   point_weights=None, point_deltas=None,
+                   rotation_batch: int = 16, capacity: int = 16384,
+                   max_outer: int = 10000,
+                   rotation_min_span: float = 0.05,
+                   translation_min_span: float = 0.1,
+                   pool_lanes: int = 1024, pool_capacity: int = 32768,
+                   ref_compat_gamma: bool = False,
+                   icp_width: int = 16, icp_max_iter: int = 100,
+                   icp_convergence=0.005,
+                   icp_trigger_factor=1.8,
+                   icp_search_target=None,
+                   trim_keep: Optional[int] = None) -> SO3State:
+    """Run the whole nested BnB on device; returns the final SO3State.
+
+    pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
+    source; search_pcs: bound-evaluation source (cluster reps or pcs).
+    best_*: incumbent seed (from the host-side initial ICP).
+    icp_search_target: optional smaller ICP iteration target (proxy
+    coreset); the final pose is exactly re-scored on pct either way.
+    """
+    b = rotation_batch
+    g = b * 8
+    cap = capacity
+    share = jnp.concatenate([jnp.full((g,), -1, jnp.int32),
+                             jnp.arange(g, dtype=jnp.int32)])
+
+    state0 = SO3State(
+        lbs=jnp.full((cap,), INVALID).at[0].set(0.0),
+        ubs=jnp.full((cap,), BIG),
+        coords=jnp.zeros((cap, 3), jnp.float32),
+        spans=jnp.zeros((cap,), jnp.float32).at[0].set(1.0),
+        best_sse=jnp.float32(best_sse0),
+        best_R=jnp.asarray(best_R0, jnp.float32),
+        best_t=jnp.asarray(best_t0, jnp.float32),
+        dropped_lb=INVALID,
+        outer_steps=jnp.int32(0),
+        children_evaluated=jnp.int32(0),
+        inner_nodes=jnp.int32(0),
+        icp_runs=jnp.int32(0),
+        pruned=jnp.int32(0),
+    )
+
+    def cond(s: SO3State):
+        floor = jnp.minimum(s.lbs[0], s.dropped_lb)
+        open_gap = (s.best_sse - floor) > sse_threshold
+        return open_gap & (s.lbs[0] < INVALID) & (s.outer_steps < max_outer)
+
+    def body(s: SO3State) -> SO3State:
+        # ---- pop the best B cubes and split (fgoicp.cpp:50-66) ----
+        p_lb = s.lbs[:b]
+        p_c = s.coords[:b]
+        p_s = s.spans[:b]
+        p_valid = p_lb < INVALID
+        ch_span = p_s / 2.0
+        splittable = p_valid & (ch_span >= rotation_min_span)
+
+        j = jnp.arange(8)
+        off = jnp.stack([(j >> 0) & 1, (j >> 1) & 1, (j >> 2) & 1],
+                        axis=-1).astype(jnp.float32)           # [8, 3]
+        ch_c = (p_c[:, None, :] - ch_span[:, None, None]
+                + off[None, :, :] * p_s[:, None, None])        # [B, 8, 3]
+        ch_s = jnp.broadcast_to(ch_span[:, None], (b, 8))
+        r2 = jnp.sum(ch_c * ch_c, axis=-1)
+        abs_sum = jnp.sum(jnp.abs(ch_c), axis=-1)
+        overlaps = (r2 - 2 * ch_s * abs_sum + 3 * ch_s * ch_s) <= 1.0
+        inside = r2 <= 1.0
+        eval_mask = (splittable[:, None] & overlaps & inside).reshape(g)
+        requeue_mask = (splittable[:, None] & overlaps
+                        & ~inside).reshape(g)
+        ch_c = ch_c.reshape(g, 3)
+        ch_s = ch_s.reshape(g)
+        parent_lb = jnp.broadcast_to(p_lb[:, None], (b, 8)).reshape(g)
+
+        # ---- inner R^3 BnB: ub pass + lb pass in one shared pool ----
+        R = geo.quat_cube_to_matrix(ch_c)
+        R2 = jnp.concatenate([R, R])
+        spans2 = jnp.concatenate([ch_s, ch_s])
+        fix2 = jnp.concatenate([jnp.ones((g,), bool),
+                                jnp.zeros((g,), bool)])
+        act2 = jnp.concatenate([eval_mask, eval_mask])
+        st = pool_frontier.bnb_r3_pooled(
+            backend, search_pcs, R2, spans2, fix2, s.best_sse,
+            sse_threshold, group_active=act2,
+            min_span=translation_min_span, lanes=pool_lanes,
+            capacity=pool_capacity, ref_compat_gamma=ref_compat_gamma,
+            trim_keep=trim_keep, point_weights=point_weights,
+            point_deltas=point_deltas, err_share_from=share)
+        ub = jnp.where(eval_mask, st.best_ub[:g], BIG)
+        t_g = st.best_t[:g]
+        lb_g = jnp.minimum(jnp.minimum(st.best_ub[g:], st.best_err[g:]),
+                           st.dropped_lb[g:])
+
+        # ---- lane-filled ICP refinement (goicp._refine_candidates) ----
+        _, sel = jax.lax.top_k(-ub, icp_width)                  # lowest ub
+        sel_ok = eval_mask[sel]
+        trig = ub[sel] < s.best_sse * jnp.float32(icp_trigger_factor)
+        icp_target = pct if icp_search_target is None else icp_search_target
+        sse_i, R_i, t_i = icp_model.icp_batched(
+            icp_target, pcs, R[sel], t_g[sel], active=sel_ok,
+            max_iter=icp_max_iter,
+            convergence_threshold=icp_convergence, trim_keep=trim_keep)
+        if icp_search_target is not None:
+            sse_i = icp_model.exact_sse_batched(pct, pcs, R_i, t_i,
+                                                trim_keep=trim_keep)
+        sse_i = jnp.where(sel_ok, sse_i, BIG)
+        k = jnp.argmin(sse_i)
+        improve = sse_i[k] < s.best_sse
+        best_sse = jnp.where(improve, sse_i[k], s.best_sse)
+        best_R = jnp.where(improve, R_i[k], s.best_R)
+        best_t = jnp.where(improve, t_i[k], s.best_t)
+
+        # ---- prune + push children (fgoicp.cpp:92-96) ----
+        keep_eval = eval_mask & (lb_g < best_sse)
+        ch_lb = jnp.where(keep_eval, lb_g,
+                          jnp.where(requeue_mask, parent_lb, INVALID))
+        ch_ub = jnp.where(keep_eval, ub, BIG)
+        all_lb = jnp.concatenate([s.lbs[b:], ch_lb])
+        all_ub = jnp.concatenate([s.ubs[b:], ch_ub])
+        all_c = jnp.concatenate([s.coords[b:], ch_c])
+        all_s = jnp.concatenate([s.spans[b:], ch_s])
+        order = jnp.argsort(all_lb)
+        new_lb = all_lb[order[:cap]]
+        rest_lb = all_lb[order[cap:]]
+        dropped_lb = jnp.minimum(s.dropped_lb, jnp.min(rest_lb))
+
+        return SO3State(
+            lbs=new_lb, ubs=all_ub[order[:cap]],
+            coords=all_c[order[:cap]], spans=all_s[order[:cap]],
+            best_sse=best_sse, best_R=best_R, best_t=best_t,
+            dropped_lb=dropped_lb,
+            outer_steps=s.outer_steps + 1,
+            children_evaluated=s.children_evaluated
+            + jnp.sum(eval_mask, dtype=jnp.int32),
+            inner_nodes=s.inner_nodes
+            + jnp.sum(st.evaluated, dtype=jnp.int32),
+            icp_runs=s.icp_runs + jnp.sum(trig & sel_ok, dtype=jnp.int32),
+            pruned=s.pruned + jnp.sum(eval_mask & (lb_g >= best_sse),
+                                      dtype=jnp.int32),
+        )
+
+    return jax.lax.while_loop(cond, body, state0)

@@ -182,3 +182,39 @@ class TestGoICP:
         R, t = model.run()
         np.testing.assert_allclose(R, R_true, atol=0.05)
         np.testing.assert_allclose(t, t_true, atol=0.05)
+
+
+class TestDeviceOuterMode:
+    def test_device_outer_matches_host(self):
+        """outer_mode='device' (one jitted nested-BnB call,
+        ops/so3_frontier.py) must reach the same optimum as the host
+        heap on the same problem."""
+        pct, pcs, R_true, t_true = _make_problem(seed=12, angle=2.0)
+        host = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+                     bound_backend="exact")
+        host.run()
+        dev = GoICP(pct, pcs, mse_threshold=5e-4,
+                    engine=std_engine(outer_mode="device",
+                                      so3_capacity=2048),
+                    bound_backend="exact")
+        R, t = dev.run()
+        assert dev.mse < 5e-4
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-3)
+        # Same optimum as the host loop (scheduling differs, basin same).
+        assert abs(dev.best_sse - host.best_sse) <= \
+            1e-3 * max(host.best_sse, 1e-9) + 1e-9
+        assert dev.stats.outer_steps > 0
+        assert dev.stats.translation_nodes > 0
+
+    def test_device_outer_rejects_unsupported(self):
+        import pytest
+        pct, pcs, _, _ = _make_problem(seed=13, angle=0.5)
+        with pytest.raises(ValueError, match="checkpoint"):
+            GoICP(pct, pcs, engine=std_engine(
+                outer_mode="device", checkpoint_path="/tmp/x.npz"))
+        with pytest.raises(ValueError, match="outer_mode"):
+            GoICP(pct, pcs, engine=std_engine(outer_mode="banana"))
+        m = GoICP(pct, pcs, engine=std_engine(outer_mode="device"))
+        with pytest.raises(ValueError, match="resume"):
+            m.load_checkpoint("/tmp/nonexistent.npz")
