@@ -593,22 +593,12 @@ class GoICP:
         (those stay host-mode features)."""
         from ..ops import so3_frontier as so3_ops
         e = self.engine
-        if self.mesh is not None:
-            raise ValueError(
-                "outer_mode='device' does not support mesh sharding; "
-                "use outer_mode='host' with mesh_cubes/mesh_points")
         if self.src_clusters is not None:
             search_pcs = self.src_clusters.reps
             pw, pd = self.src_clusters.weights, self.src_clusters.deltas
         else:
             search_pcs, pw, pd = self.pcs, None, None
-        st = so3_ops.so3_bnb_device(
-            self.backend, self.pct, self.pcs, search_pcs,
-            jnp.float32(self.best_sse),
-            jnp.asarray(self.best_rotation, jnp.float32),
-            jnp.asarray(self.best_translation, jnp.float32),
-            jnp.float32(self.sse_threshold),
-            point_weights=pw, point_deltas=pd,
+        kw = dict(
             rotation_batch=e.rotation_batch, capacity=e.so3_capacity,
             rotation_min_span=e.rotation_min_span,
             translation_min_span=e.translation_min_span,
@@ -616,9 +606,28 @@ class GoICP:
             ref_compat_gamma=e.ref_compat_gamma,
             icp_width=e.icp_width, icp_max_iter=e.icp_max_iter,
             icp_convergence=jnp.float32(e.icp_convergence_bnb),
-            icp_trigger_factor=e.icp_trigger_factor,
-            icp_search_target=self._icp_search_target,
-            trim_keep=self.trim_keep)
+            icp_trigger_factor=e.icp_trigger_factor)
+        if self.mesh is not None:
+            # Points-axis sharding only (cubes>1 raises inside).
+            st = pbnb.so3_bnb_device_sharded(
+                self.backend, self.pct, self.pcs, search_pcs,
+                jnp.float32(self.best_sse),
+                jnp.asarray(self.best_rotation, jnp.float32),
+                jnp.asarray(self.best_translation, jnp.float32),
+                jnp.float32(self.sse_threshold), mesh=self.mesh,
+                point_weights=pw, point_deltas=pd,
+                icp_search_target=self._icp_search_target,
+                trim_keep=self.trim_keep, **kw)
+        else:
+            st = so3_ops.so3_bnb_device(
+                self.backend, self.pct, self.pcs, search_pcs,
+                jnp.float32(self.best_sse),
+                jnp.asarray(self.best_rotation, jnp.float32),
+                jnp.asarray(self.best_translation, jnp.float32),
+                jnp.float32(self.sse_threshold),
+                point_weights=pw, point_deltas=pd,
+                icp_search_target=self._icp_search_target,
+                trim_keep=self.trim_keep, **kw)
         if float(st.best_sse) < self.best_sse:
             self.best_sse = float(st.best_sse)
             self.best_rotation = np.asarray(st.best_R)

@@ -175,12 +175,15 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     return sse, R, t
 
 
-@functools.partial(jax.jit, static_argnames=("trim_keep",))
-def exact_sse_batched(pct, pcs, R, t, trim_keep=None):
+@functools.partial(jax.jit, static_argnames=("trim_keep", "target_axis"))
+def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None):
     """Exact (optionally trimmed) SSE of G poses against the full target.
 
     One NN pass — used to re-anchor incumbents produced by proxy-target
-    search ICPs on the true objective (models/goicp.py)."""
+    search ICPs on the true objective (models/goicp.py).  When the
+    TARGET is sharded over mesh axis `target_axis` (pct holds this
+    device's slice), per-query minima resolve with a pmin before the
+    source-axis sum (padding rows must sit far away)."""
     pct = jnp.asarray(pct, jnp.float32)
     pcs = jnp.asarray(pcs, jnp.float32)
     R = jnp.asarray(R, jnp.float32)
@@ -189,6 +192,8 @@ def exact_sse_batched(pct, pcs, R, t, trim_keep=None):
                      precision=jax.lax.Precision.HIGHEST) \
         + jnp.asarray(t, jnp.float32)[:, None, :]
     d2 = nn_ops.nearest_sqdist(cur.reshape(g * ns, 3), pct).reshape(g, ns)
+    if target_axis is not None:
+        d2 = jax.lax.pmin(d2, target_axis)
     if trim_keep is not None and trim_keep < ns:
         return -jnp.sum(jax.lax.top_k(-d2, trim_keep)[0], axis=-1)
     return jnp.sum(d2, axis=-1)

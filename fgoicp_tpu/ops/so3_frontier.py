@@ -75,7 +75,8 @@ class SO3State(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "rotation_batch", "capacity", "max_outer", "rotation_min_span",
     "translation_min_span", "pool_lanes", "pool_capacity",
-    "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep"))
+    "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
+    "points_axis", "trim_ns"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -89,7 +90,9 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    icp_convergence=0.005,
                    icp_trigger_factor=1.8,
                    icp_search_target=None,
-                   trim_keep: Optional[int] = None) -> SO3State:
+                   trim_keep: Optional[int] = None,
+                   points_axis=None, target_offset=None,
+                   trim_ns: Optional[int] = None) -> SO3State:
     """Run the whole nested BnB on device; returns the final SO3State.
 
     pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
@@ -97,6 +100,14 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     best_*: incumbent seed (from the host-side initial ICP).
     icp_search_target: optional smaller ICP iteration target (proxy
     coreset); the final pose is exactly re-scored on pct either way.
+
+    Point sharding (parallel.bnb.so3_bnb_device_sharded): `points_axis`
+    names the mesh axis over which pct/search_pcs (and point_weights/
+    point_deltas) hold this device's shards — bound sums psum, ICP
+    correspondences and exact SSE use the pmin vote with
+    `target_offset` as this shard's global row offset.  The SO(3)
+    frontier itself is replicated: every shard runs the identical outer
+    computation on collectively-identical values.
     """
     b = rotation_batch
     g = b * 8
@@ -164,7 +175,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             min_span=translation_min_span, lanes=pool_lanes,
             capacity=pool_capacity, ref_compat_gamma=ref_compat_gamma,
             trim_keep=trim_keep, point_weights=point_weights,
-            point_deltas=point_deltas, err_share_from=share)
+            point_deltas=point_deltas, err_share_from=share,
+            points_axis=points_axis, trim_ns=trim_ns)
         ub = jnp.where(eval_mask, st.best_ub[:g], BIG)
         t_g = st.best_t[:g]
         lb_g = jnp.minimum(jnp.minimum(st.best_ub[g:], st.best_err[g:]),
@@ -174,14 +186,25 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         _, sel = jax.lax.top_k(-ub, icp_width)                  # lowest ub
         sel_ok = eval_mask[sel]
         trig = ub[sel] < s.best_sse * jnp.float32(icp_trigger_factor)
-        icp_target = pct if icp_search_target is None else icp_search_target
-        sse_i, R_i, t_i = icp_model.icp_batched(
-            icp_target, pcs, R[sel], t_g[sel], active=sel_ok,
-            max_iter=icp_max_iter,
-            convergence_threshold=icp_convergence, trim_keep=trim_keep)
-        if icp_search_target is not None:
-            sse_i = icp_model.exact_sse_batched(pct, pcs, R_i, t_i,
-                                                trim_keep=trim_keep)
+        if icp_search_target is None:
+            # Iterate directly on the (possibly sharded) full target.
+            sse_i, R_i, t_i = icp_model.icp_batched(
+                pct, pcs, R[sel], t_g[sel], active=sel_ok,
+                max_iter=icp_max_iter,
+                convergence_threshold=icp_convergence,
+                trim_keep=trim_keep, target_axis=points_axis,
+                target_offset=target_offset)
+        else:
+            # Iterate on the (replicated) proxy coreset, then re-score
+            # exactly on the full target — possibly sharded.
+            _, R_i, t_i = icp_model.icp_batched(
+                icp_search_target, pcs, R[sel], t_g[sel], active=sel_ok,
+                max_iter=icp_max_iter,
+                convergence_threshold=icp_convergence,
+                trim_keep=trim_keep)
+            sse_i = icp_model.exact_sse_batched(
+                pct, pcs, R_i, t_i, trim_keep=trim_keep,
+                target_axis=points_axis)
         sse_i = jnp.where(sel_ok, sse_i, BIG)
         k = jnp.argmin(sse_i)
         improve = sse_i[k] < s.best_sse

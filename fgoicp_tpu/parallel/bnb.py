@@ -224,6 +224,78 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
                       dropped_lb=st.dropped_lb[:g])
 
 
+def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
+                           best_R0, best_t0, sse_threshold, mesh: Mesh,
+                           point_weights=None, point_deltas=None,
+                           icp_search_target=None,
+                           trim_keep: Optional[int] = None, **kw):
+    """ops/so3_frontier.so3_bnb_device with the POINT axis sharded.
+
+    The SO(3) frontier replicates across shards (every shard runs the
+    identical outer computation on collectively-identical values); the
+    bound-evaluation source and the ICP/exact-SSE target shard over
+    `points`, with psum'd bound sums and pmin-vote correspondences.
+    Cube-axis sharding of the device outer loop is not supported — use
+    the host outer loop for cubes parallelism.
+    """
+    from ..ops import so3_frontier as so3_ops
+
+    n_cubes = mesh.shape[sh.CUBES_AXIS]
+    n_points = mesh.shape[sh.POINTS_AXIS]
+    if n_cubes > 1:
+        raise ValueError(
+            "outer_mode='device' shards only the points axis; use "
+            "mesh_cubes=1 (or outer_mode='host' for cubes parallelism)")
+    trim_ns = search_pcs.shape[0] if trim_keep is not None else None
+    search_p, mask_p = _pad_points(search_pcs, n_points)
+    if point_weights is not None:
+        w_p = jnp.pad(jnp.asarray(point_weights, jnp.float32),
+                      [(0, search_p.shape[0] - search_pcs.shape[0])])
+    else:
+        w_p = mask_p
+    d_p = jnp.zeros((search_p.shape[0],), jnp.float32)
+    if point_deltas is not None:
+        d_p = d_p.at[:search_pcs.shape[0]].set(
+            jnp.asarray(point_deltas, jnp.float32))
+    # ICP/exact-SSE target: pad with far-away rows (pmin never votes
+    # for them) and give each shard its global row offset.
+    pct = jnp.asarray(pct, jnp.float32)
+    nt = pct.shape[0]
+    ntp = sh.pad_to_multiple(nt, n_points)
+    if ntp != nt:
+        pct = jnp.concatenate(
+            [pct, jnp.full((ntp - nt, 3), 1e6, jnp.float32)])
+    points_axis = sh.POINTS_AXIS if n_points > 1 else None
+
+    def local(backend_, pct_, pcs_, search_, w_, d_, icp_tgt_, sse0_,
+              R0_, t0_, thr_):
+        offset = None
+        if points_axis is not None:
+            offset = (jax.lax.axis_index(points_axis).astype(jnp.int32)
+                      * (ntp // n_points))
+        return so3_ops.so3_bnb_device(
+            backend_, pct_, pcs_, search_, sse0_, R0_, t0_, thr_,
+            point_weights=w_, point_deltas=(
+                d_ if point_deltas is not None else None),
+            icp_search_target=icp_tgt_, trim_keep=trim_keep,
+            points_axis=points_axis, target_offset=offset,
+            trim_ns=trim_ns, **kw)
+
+    pspec = P(sh.POINTS_AXIS)
+    rep = P()
+    out_specs = so3_ops.SO3State(*([rep] * len(so3_ops.SO3State._fields)))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, pspec, rep, pspec, pspec, pspec, rep,
+                  rep, rep, rep, rep),
+        out_specs=out_specs, check_vma=False)
+    return fn(backend, pct, jnp.asarray(pcs, jnp.float32), search_p,
+              w_p, d_p, icp_search_target, jnp.float32(best_sse0),
+              jnp.asarray(best_R0, jnp.float32),
+              jnp.asarray(best_t0, jnp.float32),
+              jnp.float32(sse_threshold))
+
+
 def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,
                 max_iter: int = 100, convergence_threshold=0.005,
                 trim_keep=None, **kw):

@@ -162,6 +162,49 @@ def test_goicp_on_mesh_pooled():
     assert m.stats.translation_nodes > 0
 
 
+def test_device_outer_points_sharded():
+    """outer_mode='device' with the points axis sharded: the replicated
+    SO(3) frontier + psum'd bounds + pmin-vote ICP must reach the same
+    optimum as the unsharded device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    sys.path.insert(0, "/root/repo/tests")
+    from util import std_engine
+    from fgoicp_tpu.models.goicp import GoICP
+    rng = np.random.default_rng(21)
+    s = rng.uniform(0.0, 4.5, size=(150,))
+    pct = np.stack([np.cos(s), 0.7 * np.sin(2 * s),
+                    0.4 * np.sin(3 * s + 0.5)], axis=1)
+    pct = (pct + rng.normal(scale=0.01, size=(150, 3))).astype(np.float32)
+    ang = 2.0
+    c, s0 = np.cos(ang), np.sin(ang)
+    R_true = np.array([[c, -s0, 0], [s0, c, 0], [0, 0, 1]], np.float32)
+    t_true = np.array([0.2, -0.1, 0.15], np.float32)
+    pcs = (pct[:100] - t_true) @ R_true
+
+    single = GoICP(pct, pcs, mse_threshold=5e-4,
+                   engine=std_engine(outer_mode="device", so3_capacity=2048),
+                   bound_backend="exact")
+    single.run()
+    mesh = psh.make_mesh(1, 8)
+    m = GoICP(pct, pcs, mse_threshold=5e-4,
+              engine=std_engine(outer_mode="device", so3_capacity=2048),
+              bound_backend="exact", mesh=mesh)
+    R, t = m.run()
+    assert m.mse < 5e-4
+    np.testing.assert_allclose(R, R_true, atol=2e-3)
+    np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert abs(m.best_sse - single.best_sse) <= \
+        1e-3 * max(single.best_sse, 1e-9) + 1e-9
+    # Cubes-axis sharding is rejected with a clear error.
+    mesh42 = psh.make_mesh(4, 2)
+    m2 = GoICP(pct, pcs, mse_threshold=5e-4,
+               engine=std_engine(outer_mode="device"),
+               bound_backend="exact", mesh=mesh42)
+    with pytest.raises(ValueError, match="points axis"):
+        m2.run()
+
+
 def test_graft_entry_and_dryrun():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
