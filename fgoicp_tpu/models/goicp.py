@@ -606,7 +606,8 @@ class GoICP:
             ref_compat_gamma=e.ref_compat_gamma,
             icp_width=e.icp_width, icp_max_iter=e.icp_max_iter,
             icp_convergence=jnp.float32(e.icp_convergence_bnb),
-            icp_trigger_factor=e.icp_trigger_factor)
+            icp_trigger_factor=e.icp_trigger_factor,
+            icp_refine_best=e.icp_refine_best)
         if self.mesh is not None:
             # Points-axis sharding only (cubes>1 raises inside).
             st = pbnb.so3_bnb_device_sharded(
@@ -636,13 +637,29 @@ class GoICP:
         self.last_rotation = np.asarray(st.best_R)
         self.last_translation = np.asarray(st.best_t)
         self.stats.outer_steps += int(st.outer_steps)
-        self.stats.rotation_nodes += int(st.outer_steps) * e.rotation_batch
+        self.stats.rotation_nodes += int(st.nodes_expanded)
         self.stats.rotation_children += int(st.children_evaluated)
         self.stats.translation_nodes += int(st.inner_nodes)
         self.stats.icp_runs += int(st.icp_runs)
-        self.stats.icp_triggered += int(st.icp_runs)
+        self.stats.icp_triggered += int(st.icp_triggered)
         self.stats.rotation_pruned += int(st.pruned)
         self._heap = []
+        # A device search can end WITHOUT a certificate: the fixed
+        # SO(3) frontier dropped a subtree (its lb bounds the gap open)
+        # or max_outer truncated the loop.  Unlike inner-pool drops,
+        # those subtrees are unrecoverable on device — re-certify with
+        # the host loop, which restarts the octree from the root but
+        # inherits the device incumbent, so pruning closes it fast.
+        gap = float(so3_ops.certified_gap(st))
+        if gap > self.sse_threshold:
+            log.warning(
+                f"Device SO(3) search ended with an open certificate "
+                f"gap ({gap:.3g} > {self.sse_threshold:.3g}; frontier "
+                f"overflow or max_outer) — re-certifying with the host "
+                f"loop (raise engine.so3_capacity to avoid this)")
+            self.seed_heap()
+            while self._heap and not self.outer_converged():
+                self.outer_step()
         return self.best_sse
 
     # ------------------------------------------------------------------

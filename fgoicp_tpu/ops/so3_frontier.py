@@ -30,13 +30,28 @@ Semantics parity with the host loop (and thus with the reference,
   * pruning lb >= best_sse (fgoicp.cpp:92) and gap termination
     best_sse - min_lb <= sse_threshold (fgoicp.cpp:44-47).
 
-Certificate under capacity overflow: like the inner pools, the SO(3)
-frontier is fixed-capacity; the minimum lb ever dropped is tracked and
-folded into the termination gap, so overflow can only delay
-convergence, never void optimality.
+Certificate under capacity overflow: the SO(3) frontier is
+fixed-capacity and — unlike the inner pools, whose dropped nodes live
+on as re-expandable rotation children — a subtree dropped here is gone
+for good.  The minimum lb ever dropped is therefore folded into the
+TERMINATION GAP (the loop cannot claim convergence past it), and the
+caller must check `certified_gap(state) <= sse_threshold` on exit: an
+open gap (capacity overflow bound it, or max_outer truncated the
+search) means the result is an incumbent WITHOUT a certificate.
+models/goicp.py reacts by logging a warning and re-certifying with the
+host loop, which inherits the (usually excellent) device incumbent and
+prunes fast.
+
+Device-mode ICP refinement intentionally deviates from the host
+scheduler in one bounded way: at most `icp_width` children refine per
+outer step (the host chunks through every triggered child).  With
+icp_refine_best the width is filled with the lowest-ub children; with
+it off, only triggered children among those lanes run.
 
 Not supported in device mode (use the host loop): checkpoint/resume,
-per-improvement history, multi-host partitioning, mesh sharding.
+per-improvement history, multi-host partitioning, and cube-axis mesh
+sharding.  POINT-axis sharding is supported via
+parallel.bnb.so3_bnb_device_sharded.
 """
 
 from __future__ import annotations
@@ -66,17 +81,32 @@ class SO3State(NamedTuple):
     best_t: jnp.ndarray    # [3]
     dropped_lb: jnp.ndarray   # scalar: min lb lost to frontier overflow
     outer_steps: jnp.ndarray
+    nodes_expanded: jnp.ndarray     # splittable cubes actually popped
     children_evaluated: jnp.ndarray
     inner_nodes: jnp.ndarray
-    icp_runs: jnp.ndarray
+    icp_runs: jnp.ndarray           # ICP lanes executed
+    icp_triggered: jnp.ndarray      # children passing the 1.8x trigger
     pruned: jnp.ndarray
+
+
+def certified_gap(s: SO3State):
+    """Optimality gap the final state actually certifies: incumbent
+    minus the lowest lower bound anywhere — the frontier minimum or a
+    subtree lost to capacity overflow, whichever is lower.  A value
+    <= sse_threshold means certified optimal; anything larger means the
+    device search ended (overflow-bound or max_outer-truncated) without
+    a certificate and the caller must re-certify."""
+    floor = jnp.minimum(s.lbs[0], s.dropped_lb)
+    # An empty frontier with no drops certifies exhaustively (floor is
+    # INVALID -> gap very negative -> certified).
+    return s.best_sse - floor
 
 
 @functools.partial(jax.jit, static_argnames=(
     "rotation_batch", "capacity", "max_outer", "rotation_min_span",
     "translation_min_span", "pool_lanes", "pool_capacity",
     "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
-    "points_axis", "trim_ns"))
+    "points_axis", "trim_ns", "icp_refine_best"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -92,7 +122,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    icp_search_target=None,
                    trim_keep: Optional[int] = None,
                    points_axis=None, target_offset=None,
-                   trim_ns: Optional[int] = None) -> SO3State:
+                   trim_ns: Optional[int] = None,
+                   icp_refine_best: bool = True) -> SO3State:
     """Run the whole nested BnB on device; returns the final SO3State.
 
     pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
@@ -112,6 +143,11 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     b = rotation_batch
     g = b * 8
     cap = capacity
+    if cap < 8 * b:
+        raise ValueError(
+            f"so3 capacity {cap} cannot hold one batch's children "
+            f"(8 * rotation_batch = {8 * b}); raise so3_capacity")
+    w_icp = min(icp_width, g)  # top_k bound: at most g children exist
     share = jnp.concatenate([jnp.full((g,), -1, jnp.int32),
                              jnp.arange(g, dtype=jnp.int32)])
 
@@ -125,9 +161,11 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         best_t=jnp.asarray(best_t0, jnp.float32),
         dropped_lb=INVALID,
         outer_steps=jnp.int32(0),
+        nodes_expanded=jnp.int32(0),
         children_evaluated=jnp.int32(0),
         inner_nodes=jnp.int32(0),
         icp_runs=jnp.int32(0),
+        icp_triggered=jnp.int32(0),
         pruned=jnp.int32(0),
     )
 
@@ -145,16 +183,9 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         ch_span = p_s / 2.0
         splittable = p_valid & (ch_span >= rotation_min_span)
 
-        j = jnp.arange(8)
-        off = jnp.stack([(j >> 0) & 1, (j >> 1) & 1, (j >> 2) & 1],
-                        axis=-1).astype(jnp.float32)           # [8, 3]
-        ch_c = (p_c[:, None, :] - ch_span[:, None, None]
-                + off[None, :, :] * p_s[:, None, None])        # [B, 8, 3]
-        ch_s = jnp.broadcast_to(ch_span[:, None], (b, 8))
-        r2 = jnp.sum(ch_c * ch_c, axis=-1)
-        abs_sum = jnp.sum(jnp.abs(ch_c), axis=-1)
-        overlaps = (r2 - 2 * ch_s * abs_sum + 3 * ch_s * ch_s) <= 1.0
-        inside = r2 <= 1.0
+        ch_c, ch_s = geo.split_octree(p_c, p_s)               # [B, 8, 3]
+        overlaps = geo.overlaps_so3(ch_c, ch_s)
+        inside = geo.in_so3(ch_c)
         eval_mask = (splittable[:, None] & overlaps & inside).reshape(g)
         requeue_mask = (splittable[:, None] & overlaps
                         & ~inside).reshape(g)
@@ -182,10 +213,12 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         lb_g = jnp.minimum(jnp.minimum(st.best_ub[g:], st.best_err[g:]),
                            st.dropped_lb[g:])
 
-        # ---- lane-filled ICP refinement (goicp._refine_candidates) ----
-        _, sel = jax.lax.top_k(-ub, icp_width)                  # lowest ub
-        sel_ok = eval_mask[sel]
+        # ---- lane-filled ICP refinement (goicp._refine_candidates;
+        # bounded at w_icp lanes per step, module doc) ----
+        _, sel = jax.lax.top_k(-ub, w_icp)                      # lowest ub
         trig = ub[sel] < s.best_sse * jnp.float32(icp_trigger_factor)
+        sel_ok = eval_mask[sel] if icp_refine_best \
+            else (eval_mask[sel] & trig)
         if icp_search_target is None:
             # Iterate directly on the (possibly sharded) full target.
             sse_i, R_i, t_i = icp_model.icp_batched(
@@ -232,11 +265,15 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             best_sse=best_sse, best_R=best_R, best_t=best_t,
             dropped_lb=dropped_lb,
             outer_steps=s.outer_steps + 1,
+            nodes_expanded=s.nodes_expanded
+            + jnp.sum(splittable, dtype=jnp.int32),
             children_evaluated=s.children_evaluated
             + jnp.sum(eval_mask, dtype=jnp.int32),
             inner_nodes=s.inner_nodes
             + jnp.sum(st.evaluated, dtype=jnp.int32),
-            icp_runs=s.icp_runs + jnp.sum(trig & sel_ok, dtype=jnp.int32),
+            icp_runs=s.icp_runs + jnp.sum(sel_ok, dtype=jnp.int32),
+            icp_triggered=s.icp_triggered
+            + jnp.sum(trig & eval_mask[sel], dtype=jnp.int32),
             pruned=s.pruned + jnp.sum(eval_mask & (lb_g >= best_sse),
                                       dtype=jnp.int32),
         )

@@ -152,6 +152,10 @@ class MultiHostGoICP(GoICP):
 
     def __init__(self, pct, pcs, comm, **kwargs):
         super().__init__(pct, pcs, **kwargs)
+        if self.engine.outer_mode == "device":
+            raise ValueError(
+                "multi-host Go-ICP partitions the outer cube on host; "
+                "outer_mode='device' is not supported here")
         self.comm = comm
         self.sync_rounds = 0
         self.idle_rounds = 0

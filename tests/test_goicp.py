@@ -218,3 +218,26 @@ class TestDeviceOuterMode:
         m = GoICP(pct, pcs, engine=std_engine(outer_mode="device"))
         with pytest.raises(ValueError, match="resume"):
             m.load_checkpoint("/tmp/nonexistent.npz")
+
+    def test_device_outer_overflow_falls_back_to_host(self):
+        """A tiny SO(3) frontier forces subtree drops; the device search
+        then ends with an OPEN certificate gap and the engine must
+        re-certify via the host loop — still returning the optimum."""
+        pct, pcs, R_true, t_true = _make_problem(seed=14, angle=2.2)
+        m = GoICP(pct, pcs, mse_threshold=5e-4,
+                  engine=std_engine(outer_mode="device", so3_capacity=16,
+                                    icp_multi_start=False),
+                  bound_backend="exact")
+        R, t = m.run()
+        assert m.mse < 5e-4
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-3)
+
+    def test_device_outer_capacity_guard(self):
+        import pytest
+        pct, pcs, _, _ = _make_problem(seed=15, angle=0.4)
+        m = GoICP(pct, pcs, mse_threshold=5e-4,
+                  engine=std_engine(outer_mode="device", so3_capacity=8),
+                  bound_backend="exact")
+        with pytest.raises(ValueError, match="so3 capacity"):
+            m.run()
