@@ -62,7 +62,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from . import bounds as bounds_ops
 from . import geometry as geo
 from . import pool_frontier
 from ..models import icp as icp_model
