@@ -241,3 +241,16 @@ class TestDeviceOuterMode:
                   bound_backend="exact")
         with pytest.raises(ValueError, match="so3 capacity"):
             m.run()
+
+    def test_device_outer_with_lut_backend(self):
+        """Device outer mode composes with the (sound, conservative) LUT
+        backend — the inner pool's XLA fallback path inside the fused
+        while_loop."""
+        pct, pcs, R_true, t_true = _make_problem(seed=16, angle=1.9)
+        m = GoICP(pct, pcs, lut_resolution=0.05, mse_threshold=5e-4,
+                  engine=std_engine(outer_mode="device", so3_capacity=2048),
+                  bound_backend="lut")
+        R, t = m.run()
+        assert m.mse < 5e-4
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(t, t_true, atol=1e-3)
