@@ -91,7 +91,9 @@ def _run_workload(name, pct, pcs, ref_seconds, engine=None, runs=2,
     _log(f"{name}: target={len(pct)} source={len(pcs)} pts")
     wall = None
     for i in range(runs):
+        tc = time.time()
         model = GoICP(pct, pcs, engine=engine or EngineConfig(), **goicp_kw)
+        _log(f"{name} construct[{i}]: {time.time() - tc:.3f}s")
         t0 = time.time()
         R, t = model.run()
         wall = time.time() - t0
@@ -121,6 +123,34 @@ def _run_workload(name, pct, pcs, ref_seconds, engine=None, runs=2,
     }
 
 
+def _kernel_gate():
+    """Record a Pallas-vs-XLA equality pass on the REAL device with every
+    bench run (KERNELCHECK.json artifact + stderr log).  VERDICT r2: a
+    Mosaic regression passes the interpret-mode suite and would otherwise
+    only surface as a silently wrong bench number."""
+    import jax
+    result = {"backend": jax.default_backend()}
+    if jax.default_backend() != "tpu":
+        result.update(ok=None, detail=["not on TPU; kernel check skipped"])
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        try:
+            import kernel_check
+            ok, detail = kernel_check.run_check()
+            result.update(ok=ok, detail=detail)
+        except Exception as e:  # never let the gate kill the bench
+            result.update(ok=False, detail=[f"kernel check crashed: {e!r}"])
+    for ln in result["detail"]:
+        _log(f"kernel_check {ln}")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "KERNELCHECK.json")
+    with open(path, "w") as f:
+        json.dump(result, f)
+    if result["ok"] is False:
+        _log("kernel_check FAILED — bench numbers may be invalid")
+
+
 def bench_skull(lines):
     if not os.path.exists(SKULL):
         _log("skull data missing; skipped")
@@ -143,6 +173,23 @@ def bench_skull(lines):
         lines.append(_run_workload(
             f"skull_known_transform_{tag}", pct, pcs, CPU_CLASS_SECONDS,
             engine=eng, mse_threshold=1e-3, check=check))
+
+    # Full-resolution workload (VERDICT r2 missing #4): the ENTIRE
+    # 98,359-point skull as target, 10k-point source — the largest cloud
+    # the reference ships (its own config subsamples to 3% only because
+    # the model blob is missing).
+    pct_f, pcs_f, R_true_f, t_true_f = _known_transform_pair(
+        cloud, len(cloud), 10000, seed=9)
+
+    def check_f(model, R, t):
+        return (np.abs(R - R_true_f).max() < 5e-3
+                and np.abs(t - t_true_f).max() < 5e-3
+                * np.abs(t_true_f).max())
+
+    lines.append(_run_workload(
+        "skull_full_resolution_98k", pct_f, pcs_f, CPU_CLASS_SECONDS,
+        engine=EngineConfig(icp_multi_start=False),
+        mse_threshold=1e-3, check=check_f))
 
 
 def bench_dragon(lines):
@@ -193,6 +240,21 @@ def bench_bunny(lines):
         "bunny_bnb_search_device_outer", pct, pcs, CPU_CLASS_SECONDS,
         engine=EngineConfig(icp_multi_start=False, outer_mode="device"),
         mse_threshold=1e-3, check=check))
+    # Production-resolution LUT operating point (VERDICT r2 missing #1):
+    # the reference's shipped bunny config runs its distance LUT at
+    # resolution 0.002 over the normalized target — a ~10^9-cell grid
+    # (/root/reference/test/bunny.toml:18, registration.cu:186-198).
+    # bfloat16 storage + the chunked EDT builder keep the build inside
+    # v5e HBM; conservative slack (builder + interpolation +
+    # quantization) keeps the certificate valid.  Construction time
+    # (= field build) is logged separately above.
+    if os.environ.get("FGOICP_BENCH_NO_LUT") != "1":
+        lines.append(_run_workload(
+            "bunny_lut_res0.002", pct, pcs, CPU_CLASS_SECONDS,
+            engine=EngineConfig(icp_multi_start=False,
+                                lut_dtype="bfloat16"),
+            mse_threshold=1e-3, check=check, bound_backend="lut",
+            lut_resolution=0.002))
     lines.append(_run_workload(
         "bunny_time_to_global_optimum", pct, pcs, CPU_CLASS_SECONDS,
         mse_threshold=1e-3, check=check))
@@ -201,6 +263,7 @@ def bench_bunny(lines):
 def main():
     lines = []
     only = sys.argv[1] if len(sys.argv) > 1 else ""
+    _kernel_gate()
     if only in ("", "skull"):
         bench_skull(lines)
     if only in ("", "dragon"):

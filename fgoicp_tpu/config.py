@@ -181,6 +181,10 @@ class EngineConfig:
     # a round's work-stealing transfer may move to idle hosts (0 = off).
     multihost_sync_every: int = 1
     multihost_steal_max: int = 8
+    # Seconds before a multi-host allgather gives up and raises a clean
+    # error with a checkpoint-recovery hint instead of hanging forever on
+    # a dead peer (0 = block indefinitely, matching raw jax collectives).
+    multihost_timeout_s: float = 0.0
     # Checkpoint/resume of BnB state ("" = disabled).
     checkpoint_path: str = ""
     checkpoint_every: int = 0       # outer steps between checkpoints

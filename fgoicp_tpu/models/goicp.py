@@ -160,7 +160,11 @@ class GoICP:
             import math as _math
             src_k = (0 if self.ns <= 2048 else int(min(4096, max(
                 1024, 2 ** round(_math.log2(self.ns / 3))))))
-        if src_k > 0 and self.ns > src_k and self.trim_keep is None:
+        if src_k > 0 and self.ns > src_k:
+            # Clusters compose with trimming since round 3: search bounds
+            # use the weighted member-level trim
+            # (bounds.reduce_clustered_trimmed); ICP/incumbent SSE always
+            # trim over the full source.
             from ..ops import coreset as coreset_ops
             self.src_clusters = coreset_ops.build_weighted(
                 self.pcs, size=src_k, seed=e.seed + 2)
@@ -385,7 +389,8 @@ class GoICP:
                 min_span=e.translation_min_span, lanes=e.pool_lanes,
                 capacity=e.pool_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
-                point_weights=pw, point_deltas=pd, err_share_from=share)
+                point_weights=pw, point_deltas=pd, err_share_from=share,
+                trim_ns=(self.ns if self.trim_keep is not None else None))
         elif self.mesh is not None:
             st = pbnb.bnb_r3_sharded(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -401,7 +406,8 @@ class GoICP:
                 group_active=act2, min_span=e.translation_min_span,
                 lanes=e.pool_lanes, capacity=e.pool_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
-                point_weights=pw, point_deltas=pd, err_share_from=share)
+                point_weights=pw, point_deltas=pd, err_share_from=share,
+                trim_ns=(self.ns if self.trim_keep is not None else None))
         else:
             st = frontier_ops.bnb_r3_batched(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -607,9 +613,11 @@ class GoICP:
             icp_width=e.icp_width, icp_max_iter=e.icp_max_iter,
             icp_convergence=jnp.float32(e.icp_convergence_bnb),
             icp_trigger_factor=e.icp_trigger_factor,
-            icp_refine_best=e.icp_refine_best)
+            icp_refine_best=e.icp_refine_best,
+            trim_ns=(self.ns if self.trim_keep is not None else None))
         if self.mesh is not None:
-            # Points-axis sharding only (cubes>1 raises inside).
+            # (cubes x points) mesh: frontier replicated, child
+            # evaluation sliced over cubes, clouds sharded over points.
             st = pbnb.so3_bnb_device_sharded(
                 self.backend, self.pct, self.pcs, search_pcs,
                 jnp.float32(self.best_sse),

@@ -220,6 +220,61 @@ def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
     return total - jnp.sum(jnp.maximum(top, 0.0), axis=-1)
 
 
+def _weighted_drop_sum(values, weights, n_drop):
+    """Greedy maximum total of n_drop member terms, where cluster j holds
+    weights[j] members each contributing values[j] (values [..., K],
+    weights [K] or [..., K]).  Sort clusters by value descending and take
+    members until the n_drop budget is spent — the exact maximum because
+    all members of a cluster share one value."""
+    w = jnp.broadcast_to(jnp.asarray(weights, jnp.float32), values.shape)
+    order = jnp.argsort(-values, axis=-1)
+    v = jnp.take_along_axis(values, order, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    cum = jnp.cumsum(w, axis=-1)
+    take = jnp.clip(jnp.float32(n_drop) - (cum - w), 0.0, w)
+    return jnp.sum(v * take, axis=-1)
+
+
+def reduce_clustered_trimmed(lb_pt, ub_pt, point_weights, trim_keep,
+                             trim_ns, points_axis=None):
+    """Trimmed bounds over weighted source clusters.
+
+    The trimmed objective drops the n_drop = trim_ns - trim_keep largest
+    per-MEMBER terms.  With per-member bracketing lb_j <= true_j <= ub_j
+    (gamma_arrays folds the cluster radius into both):
+
+      trimmed_true  =  total_true - drop_true
+      total_true   >=  sum_j w_j lb_j,
+      drop_true    <=  greedy-top-n_drop of member UB terms,
+      drop_true    >=  greedy-top-n_drop of member LB terms
+        (the true terms of the members maximizing the lb selection are
+         each >= their lb, and drop_true maximizes over all selections),
+
+    so lb = sum w*lb - dropUB and ub = sum w*ub - dropLB are valid
+    trimmed lower/upper bounds.  Under point-axis sharding the cluster
+    arrays are small ([K] per lane), so the exact reduction all-gathers
+    them and runs the identical greedy on every shard.
+
+    Returns (lb, ub) with lb clamped at 0 (squared-term objective).
+    """
+    w = jnp.asarray(point_weights, jnp.float32)
+    total_lb = jnp.sum(lb_pt * w, axis=-1)
+    total_ub = jnp.sum(ub_pt * w, axis=-1)
+    if points_axis is not None:
+        total_lb = jax.lax.psum(total_lb, points_axis)
+        total_ub = jax.lax.psum(total_ub, points_axis)
+        ax = lb_pt.ndim - 1
+        lb_pt = jax.lax.all_gather(lb_pt, points_axis, axis=ax, tiled=True)
+        ub_pt = jax.lax.all_gather(ub_pt, points_axis, axis=ax, tiled=True)
+        w = jax.lax.all_gather(w, points_axis, axis=0, tiled=True)
+    n_drop = trim_ns - trim_keep
+    if n_drop <= 0:
+        return total_lb, total_ub
+    lb = jnp.maximum(total_lb - _weighted_drop_sum(ub_pt, w, n_drop), 0.0)
+    ub = total_ub - _weighted_drop_sum(lb_pt, w, n_drop)
+    return lb, ub
+
+
 def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                     t_spans, node_mask=None, ref_compat_gamma: bool = False,
                     trim_keep: Optional[int] = None,
@@ -248,8 +303,11 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                when trim_keep is combined with points_axis.
     Returns (lb [G, B], ub [G, B]).
     """
-    if trim_keep is not None and point_deltas is not None:
-        raise ValueError("trim_keep is not supported with source clusters")
+    clustered_trim = trim_keep is not None and point_deltas is not None
+    if clustered_trim and (point_weights is None or trim_ns is None):
+        raise ValueError(
+            "clustered trimming needs point_weights (member counts) and "
+            "trim_ns (global member count)")
     if trim_keep is not None and points_axis is not None and trim_ns is None:
         raise ValueError(
             "trim_keep with point sharding needs trim_ns (global real "
@@ -286,10 +344,15 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
         ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[:, None, :], 0.0))
         lb_pt = jnp.square(jnp.maximum(
             d_lb - gam_lb[:, None, :] - gam_t[:, :, None], 0.0))
-        ub = reduce_point_terms(ub_pt, point_weights, trim_keep,
-                                points_axis, trim_ns)
-        lb = reduce_point_terms(lb_pt, point_weights, trim_keep,
-                                points_axis, trim_ns)
+        if clustered_trim:
+            lb, ub = reduce_clustered_trimmed(
+                lb_pt, ub_pt, point_weights, trim_keep, trim_ns,
+                points_axis)
+        else:
+            ub = reduce_point_terms(ub_pt, point_weights, trim_keep,
+                                    points_axis, trim_ns)
+            lb = reduce_point_terms(lb_pt, point_weights, trim_keep,
+                                    points_axis, trim_ns)
     if node_mask is not None:
         big = jnp.float32(nn_ops.BIG)
         ub = jnp.where(node_mask, ub, big)

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -103,6 +103,47 @@ def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024,
     return dims
 
 
+def device_memory_budget(default: int = 16 * 1024**3) -> int:
+    """Usable bytes on the default device (HBM on TPU), best effort."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:
+        pass
+    return default
+
+
+def check_memory_budget(dims, dtype, builder: str,
+                        hbm_budget: Optional[int] = None):
+    """Refuse field builds that cannot fit device memory.
+
+    The reference only warns on grid DIMENSIONS (registration.cu:191-198);
+    a dimension cap alone admits fields that exceed HBM outright
+    (lut_max_dim=2048 is a 34 GB f32 grid vs v5e's 16 GB).  The EDT
+    builder's peak working set is ~2 live f32 copies of the grid
+    (pass input + output; the chunked min-plus intermediate is bounded
+    separately) plus the final storage-dtype copy; brute needs one f32
+    copy plus storage.
+    """
+    n_cells = int(np.prod(dims))
+    store = n_cells * jnp.dtype(dtype).itemsize
+    f32_copies = 1 if builder in ("brute", "ref") else 2
+    peak = n_cells * 4 * f32_copies + store
+    budget = hbm_budget if hbm_budget is not None else device_memory_budget()
+    # Leave headroom for clouds, bound-evaluation buffers, and allocator
+    # fragmentation.
+    usable = int(budget * 0.85)
+    if peak > usable:
+        raise ValueError(
+            f"Distance field dims {tuple(dims)} needs ~{peak / 1e9:.1f} GB "
+            f"to build (budget {usable / 1e9:.1f} GB): use a coarser "
+            f"lut_resolution or a narrower lut_dtype (bfloat16 halves "
+            f"storage)")
+    return peak
+
+
 # ---------------------------------------------------------------------------
 # Builders
 # ---------------------------------------------------------------------------
@@ -129,29 +170,44 @@ def _build_brute(points, origin, resolution, dims, cell_chunk=32768,
     return vals.reshape(dims)
 
 
-def _minplus_1d(g, resolution, out_chunk=128, line_chunk=4096):
+def _minplus_1d(g, resolution, out_chunk=128, line_chunk=1024):
     """Exact 1D parabolic min-plus transform along the last axis.
 
     g: [L, n] squared distances; returns out[l, i] = min_j g[l, j] +
-    ((i - j) * resolution)^2.  O(L * n^2) elementwise mins on the VPU,
-    tiled to bound memory.
+    ((i - j) * resolution)^2.  O(L * n^2) elementwise mins on the VPU.
+
+    Memory is bounded EXPLICITLY: lines are processed in chunks of
+    `line_chunk` (lax.map over a reshaped [n_lc, lc, n] view) and outputs
+    in chunks of `out_chunk`, so the largest intermediate is
+    [line_chunk, n, out_chunk] floats regardless of L — at production
+    scale (L = 10^6 lines of n = 10^3 at bunny's res-0.002 grid,
+    registration.cu:186-198) relying on XLA to fuse a [L, n, oc]
+    broadcast would gamble 0.5 TB of HBM on a fusion heuristic.
     """
     l, n = g.shape
     j_idx = jnp.arange(n, dtype=jnp.float32)
-
-    def per_outchunk(i0, acc):
-        i_idx = i0 + jnp.arange(out_chunk, dtype=jnp.float32)
-        cost = ((i_idx[None, :] - j_idx[:, None]) * resolution) ** 2  # [n, oc]
-        # [L, n, 1] + [1, n, oc] -> min over j
-        vals = jnp.min(g[:, :, None] + cost[None, :, :], axis=1)  # [L, oc]
-        return jax.lax.dynamic_update_slice(acc, vals, (0, i0))
-
     n_pad = (-n) % out_chunk
-    out = jnp.zeros((l, n + n_pad), g.dtype)
-    out = jax.lax.fori_loop(
-        0, (n + n_pad) // out_chunk,
-        lambda k, acc: per_outchunk(k * out_chunk, acc), out)
-    return out[:, :n]
+    lc = min(line_chunk, l)
+    l_pad = (-l) % lc
+
+    def per_lines(gl):  # [lc, n] -> [lc, n + n_pad]
+        def per_outchunk(k, acc):
+            i0 = k * out_chunk
+            i_idx = i0 + jnp.arange(out_chunk, dtype=jnp.float32)
+            cost = ((i_idx[None, :] - j_idx[:, None]) * resolution) ** 2
+            # [lc, n, 1] + [1, n, oc] -> min over j: fused on the VPU,
+            # intermediate bounded at lc * n * oc.
+            vals = jnp.min(gl[:, :, None] + cost[None, :, :], axis=1)
+            return jax.lax.dynamic_update_slice(acc, vals, (0, i0))
+
+        out = jnp.zeros((gl.shape[0], n + n_pad), gl.dtype)
+        return jax.lax.fori_loop(0, (n + n_pad) // out_chunk,
+                                 per_outchunk, out)
+
+    if l_pad:
+        g = jnp.pad(g, [(0, l_pad), (0, 0)])
+    out = jax.lax.map(per_lines, g.reshape(-1, lc, n))
+    return out.reshape(l + l_pad, n + n_pad)[:l, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "out_chunk"))
@@ -181,7 +237,8 @@ def _build_edt(points, origin, resolution, dims, out_chunk=128):
 
 def build(points, bounds, resolution, builder: str = "auto",
           dtype=jnp.float32, max_dim: int = 2048, warn_dim: int = 1024,
-          brute_budget: float = 2.0e11) -> DistanceField:
+          brute_budget: float = 2.0e11,
+          hbm_budget: Optional[int] = None) -> DistanceField:
     """Construct the distance field over `bounds` ([3, 2] min/max).
 
     builder: 'brute' (exact, zero slack), 'edt' (fast, slack =
@@ -202,6 +259,7 @@ def build(points, bounds, resolution, builder: str = "auto",
     n_cells = int(np.prod(dims))
     if builder == "auto":
         builder = "brute" if n_cells * points.shape[0] <= brute_budget else "edt"
+    check_memory_budget(dims, dtype, builder, hbm_budget=hbm_budget)
     log.debug(f"Building distance field dims={dims} builder={builder}")
     if builder == "brute":
         vals = _build_brute(points, origin, jnp.float32(resolution), dims)

@@ -200,4 +200,10 @@ def bnb_r3_batched(backend, pcs, R, rot_spans, fix_rot, best_sse,
             dropped_lb=dropped_lb,
         )
 
-    return jax.lax.while_loop(cond, body, state0)
+    s = jax.lax.while_loop(cond, body, state0)
+    # Sound bound on a max_steps exit: fold the surviving frontier minimum
+    # of still-active (unconverged) groups into dropped_lb — those nodes'
+    # subtrees were never explored, so the group's search result alone is
+    # not a valid lower bound (see pool_frontier for the same clamp).
+    return s._replace(dropped_lb=jnp.where(
+        s.active, jnp.minimum(s.dropped_lb, s.lbs[:, 0]), s.dropped_lb))

@@ -69,13 +69,17 @@ class PoolState(NamedTuple):
 
 def _eval_lanes_xla(backend, base, gids, t_lanes, gam_ub, gam_lb,
                     gam_t_lanes, point_weights, trim_keep,
-                    points_axis=None, trim_ns=None):
+                    points_axis=None, trim_ns=None, clustered_trim=False):
     """XLA fallback lane evaluator (CPU tests, LUT backend, trimming)."""
     q = base[gids] + t_lanes[:, None, :]                     # [L, ns, 3]
     d_ub, d_lb = bounds_ops.distance_estimates(backend, q)   # [L, ns]
     ub_pt = jnp.square(jnp.maximum(d_ub - gam_ub[gids], 0.0))
     lb_pt = jnp.square(jnp.maximum(
         d_lb - gam_lb[gids] - gam_t_lanes[:, None], 0.0))
+    if clustered_trim:
+        # Weighted member-level trim over clusters (bounds module doc).
+        return bounds_ops.reduce_clustered_trimmed(
+            lb_pt, ub_pt, point_weights, trim_keep, trim_ns, points_axis)
     lb = bounds_ops.reduce_point_terms(lb_pt, point_weights, trim_keep,
                                        points_axis, trim_ns)
     ub = bounds_ops.reduce_point_terms(ub_pt, point_weights, trim_keep,
@@ -122,6 +126,11 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
     pcs = jnp.asarray(pcs, jnp.float32)
     if group_active is None:
         group_active = jnp.ones((g,), bool)
+    clustered_trim = trim_keep is not None and point_deltas is not None
+    if clustered_trim and (point_weights is None or trim_ns is None):
+        raise ValueError(
+            "clustered trimming needs point_weights (member counts) and "
+            "trim_ns (global member count)")
     if use_kernel is None:
         use_kernel = (isinstance(backend, bounds_ops.ProxyBackend)
                       and trim_keep is None
@@ -190,7 +199,8 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         else:
             lb_e, ub_e = _eval_lanes_xla(
                 backend, base, pop_gid, pop_c, gam_ub, gam_lb, gam_t_l,
-                point_weights, trim_keep, points_axis, trim_ns)
+                point_weights, trim_keep, points_axis, trim_ns,
+                clustered_trim=clustered_trim)
         lb_e = jnp.where(lane_valid, lb_e, BIG)
         ub_e = jnp.where(lane_valid, ub_e, BIG)
 
@@ -262,4 +272,14 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
             active=active, steps=s.steps + 1, evaluated=evaluated,
             dropped=dropped, dropped_lb=dropped_lb)
 
-    return jax.lax.while_loop(cond, body, state0)
+    s = jax.lax.while_loop(cond, body, state0)
+    # A max_steps exit leaves still-active groups with unexplored frontier
+    # nodes whose lb can sit below the group's returned search result; fold
+    # the surviving per-group frontier minimum into dropped_lb so the
+    # consumer's clamp (min(search result, dropped_lb)) stays a sound lower
+    # bound on every exit path, not just capacity overflow.  Converged /
+    # drained groups (active=False) keep the gap-termination guarantee and
+    # are left untouched.
+    exit_minlb = group_minlb(s.lbs, s.gids)
+    return s._replace(dropped_lb=jnp.where(
+        s.active, jnp.minimum(s.dropped_lb, exit_minlb), s.dropped_lb))

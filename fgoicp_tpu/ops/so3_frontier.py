@@ -49,9 +49,27 @@ icp_refine_best the width is filled with the lowest-ub children; with
 it off, only triggered children among those lanes run.
 
 Not supported in device mode (use the host loop): checkpoint/resume,
-per-improvement history, multi-host partitioning, and cube-axis mesh
-sharding.  POINT-axis sharding is supported via
-parallel.bnb.so3_bnb_device_sharded.
+per-improvement history, and multi-host partitioning.  Mesh sharding IS
+supported on BOTH axes via parallel.bnb.so3_bnb_device_sharded:
+
+* POINT axis: pct/search_pcs shard; bound sums psum, ICP
+  correspondences pmin-vote (see so3_bnb_device docstring).
+* CUBE axis (`cubes_axis`/`n_cubes`): the SO(3) frontier is REPLICATED
+  — every shard runs the identical pop/split/merge computation on
+  collectively-identical values — while the expensive work is SLICED:
+  each outer step pops rotation_batch * n_cubes cubes, shard i runs the
+  inner pooled BnB for its 8*rotation_batch-child slice and its
+  icp_width/n_cubes ICP lanes, and the tiny per-child results
+  (ub, lb, t — ~5 floats/child) all-gather over ICI before the
+  replicated frontier update.  This sidesteps the partitioned-frontier
+  load-balance problem entirely (every shard gets exactly 1/n of every
+  step's children) and keeps the certificate machinery identical to
+  single-device.  An (n_cubes, rotation_batch=rb) run explores the same
+  outer octree as a single-device run with rotation_batch = n*rb; the
+  per-child bounds may differ within the inner termination gap (each
+  shard's pool schedules only its own slice, so the pop order differs
+  from one big shared pool — same gap-certified optima, different node
+  counts, exactly like pooled-vs-grouped scheduling).
 """
 
 from __future__ import annotations
@@ -96,16 +114,18 @@ def certified_gap(s: SO3State):
     device search ended (overflow-bound or max_outer-truncated) without
     a certificate and the caller must re-certify."""
     floor = jnp.minimum(s.lbs[0], s.dropped_lb)
-    # An empty frontier with no drops certifies exhaustively (floor is
-    # INVALID -> gap very negative -> certified).
-    return s.best_sse - floor
+    # An empty frontier with no drops certifies exhaustively: make that
+    # explicit rather than relying on sentinel arithmetic (INVALID floor
+    # would make the gap hugely negative either way, but an explicit
+    # branch survives refactors of the sentinel values).
+    return jnp.where(floor >= INVALID, -BIG, s.best_sse - floor)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "rotation_batch", "capacity", "max_outer", "rotation_min_span",
     "translation_min_span", "pool_lanes", "pool_capacity",
     "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
-    "points_axis", "trim_ns", "icp_refine_best"))
+    "points_axis", "trim_ns", "icp_refine_best", "cubes_axis", "n_cubes"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -122,7 +142,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    trim_keep: Optional[int] = None,
                    points_axis=None, target_offset=None,
                    trim_ns: Optional[int] = None,
-                   icp_refine_best: bool = True) -> SO3State:
+                   icp_refine_best: bool = True,
+                   cubes_axis=None, n_cubes: int = 1) -> SO3State:
     """Run the whole nested BnB on device; returns the final SO3State.
 
     pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
@@ -139,16 +160,23 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     frontier itself is replicated: every shard runs the identical outer
     computation on collectively-identical values.
     """
-    b = rotation_batch
-    g = b * 8
+    if (cubes_axis is None) != (n_cubes == 1):
+        raise ValueError("cubes_axis and n_cubes must be set together")
+    b = rotation_batch * n_cubes   # total cubes popped per outer step
+    g = b * 8                      # total children per outer step
+    g_loc = rotation_batch * 8     # children evaluated on THIS shard
     cap = capacity
     if cap < 8 * b:
         raise ValueError(
             f"so3 capacity {cap} cannot hold one batch's children "
-            f"(8 * rotation_batch = {8 * b}); raise so3_capacity")
-    w_icp = min(icp_width, g)  # top_k bound: at most g children exist
-    share = jnp.concatenate([jnp.full((g,), -1, jnp.int32),
-                             jnp.arange(g, dtype=jnp.int32)])
+            f"(8 * rotation_batch * n_cubes = {8 * b}); raise so3_capacity")
+    # ICP lanes slice evenly over cube shards: round the width up to a
+    # multiple of n_cubes (g is always such a multiple).
+    w_icp = min(icp_width, g)
+    w_icp = min(-(-w_icp // n_cubes) * n_cubes, g)
+    w_loc = w_icp // n_cubes
+    share = jnp.concatenate([jnp.full((g_loc,), -1, jnp.int32),
+                             jnp.arange(g_loc, dtype=jnp.int32)])
 
     state0 = SO3State(
         lbs=jnp.full((cap,), INVALID).at[0].set(0.0),
@@ -169,8 +197,14 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     )
 
     def cond(s: SO3State):
-        floor = jnp.minimum(s.lbs[0], s.dropped_lb)
-        open_gap = (s.best_sse - floor) > sse_threshold
+        # Gate on the REACHABLE frontier floor only: once a capacity
+        # overflow drops a subtree, its dropped_lb holds the CERTIFICATE
+        # gap open permanently (certified_gap folds it in), but keeping
+        # it out of the loop condition lets an overflowed search still
+        # stop as soon as the nodes it can actually expand are within
+        # the gap — instead of draining the whole frontier before the
+        # host re-certification fallback starts.
+        open_gap = (s.best_sse - s.lbs[0]) > sse_threshold
         return open_gap & (s.lbs[0] < INVALID) & (s.outer_steps < max_outer)
 
     def body(s: SO3State) -> SO3State:
@@ -193,12 +227,23 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         parent_lb = jnp.broadcast_to(p_lb[:, None], (b, 8)).reshape(g)
 
         # ---- inner R^3 BnB: ub pass + lb pass in one shared pool ----
+        # Under cube-axis sharding each shard evaluates only its
+        # g_loc-child slice; the tiny per-child results all-gather back
+        # so the (replicated) frontier update below stays identical on
+        # every shard.
         R = geo.quat_cube_to_matrix(ch_c)
-        R2 = jnp.concatenate([R, R])
-        spans2 = jnp.concatenate([ch_s, ch_s])
-        fix2 = jnp.concatenate([jnp.ones((g,), bool),
-                                jnp.zeros((g,), bool)])
-        act2 = jnp.concatenate([eval_mask, eval_mask])
+        if cubes_axis is None:
+            sl = lambda a: a
+        else:
+            start = (jax.lax.axis_index(cubes_axis).astype(jnp.int32)
+                     * g_loc)
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, g_loc, 0)
+        R_l, ch_s_l, eval_l = sl(R), sl(ch_s), sl(eval_mask)
+        R2 = jnp.concatenate([R_l, R_l])
+        spans2 = jnp.concatenate([ch_s_l, ch_s_l])
+        fix2 = jnp.concatenate([jnp.ones((g_loc,), bool),
+                                jnp.zeros((g_loc,), bool)])
+        act2 = jnp.concatenate([eval_l, eval_l])
         st = pool_frontier.bnb_r3_pooled(
             backend, search_pcs, R2, spans2, fix2, s.best_sse,
             sse_threshold, group_active=act2,
@@ -206,22 +251,42 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             capacity=pool_capacity, ref_compat_gamma=ref_compat_gamma,
             trim_keep=trim_keep, point_weights=point_weights,
             point_deltas=point_deltas, err_share_from=share,
-            points_axis=points_axis, trim_ns=trim_ns)
-        ub = jnp.where(eval_mask, st.best_ub[:g], BIG)
-        t_g = st.best_t[:g]
-        lb_g = jnp.minimum(jnp.minimum(st.best_ub[g:], st.best_err[g:]),
-                           st.dropped_lb[g:])
+            points_axis=points_axis, trim_ns=trim_ns,
+            lockstep_axes=(() if cubes_axis is None else (cubes_axis,)))
+        ub_l = jnp.where(eval_l, st.best_ub[:g_loc], BIG)
+        t_l = st.best_t[:g_loc]
+        lb_l = jnp.minimum(
+            jnp.minimum(st.best_ub[g_loc:], st.best_err[g_loc:]),
+            st.dropped_lb[g_loc:])
+        inner_ev = jnp.sum(st.evaluated, dtype=jnp.int32)
+        if cubes_axis is None:
+            ub, t_g, lb_g = ub_l, t_l, lb_l
+        else:
+            ub = jax.lax.all_gather(ub_l, cubes_axis, tiled=True)
+            t_g = jax.lax.all_gather(t_l, cubes_axis, tiled=True)
+            lb_g = jax.lax.all_gather(lb_l, cubes_axis, tiled=True)
+            inner_ev = jax.lax.psum(inner_ev, cubes_axis)
 
         # ---- lane-filled ICP refinement (goicp._refine_candidates;
-        # bounded at w_icp lanes per step, module doc) ----
+        # bounded at w_icp lanes per step, module doc).  Under cube-axis
+        # sharding the top-k selection is computed identically on every
+        # shard (replicated `ub`); each shard refines its w_loc-lane
+        # slice and the pose results all-gather back. ----
         _, sel = jax.lax.top_k(-ub, w_icp)                      # lowest ub
         trig = ub[sel] < s.best_sse * jnp.float32(icp_trigger_factor)
         sel_ok = eval_mask[sel] if icp_refine_best \
             else (eval_mask[sel] & trig)
+        if cubes_axis is None:
+            sel_l, ok_l = sel, sel_ok
+        else:
+            w_start = (jax.lax.axis_index(cubes_axis).astype(jnp.int32)
+                       * w_loc)
+            sel_l = jax.lax.dynamic_slice_in_dim(sel, w_start, w_loc, 0)
+            ok_l = jax.lax.dynamic_slice_in_dim(sel_ok, w_start, w_loc, 0)
         if icp_search_target is None:
             # Iterate directly on the (possibly sharded) full target.
             sse_i, R_i, t_i = icp_model.icp_batched(
-                pct, pcs, R[sel], t_g[sel], active=sel_ok,
+                pct, pcs, R[sel_l], t_g[sel_l], active=ok_l,
                 max_iter=icp_max_iter,
                 convergence_threshold=icp_convergence,
                 trim_keep=trim_keep, target_axis=points_axis,
@@ -230,13 +295,17 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             # Iterate on the (replicated) proxy coreset, then re-score
             # exactly on the full target — possibly sharded.
             _, R_i, t_i = icp_model.icp_batched(
-                icp_search_target, pcs, R[sel], t_g[sel], active=sel_ok,
+                icp_search_target, pcs, R[sel_l], t_g[sel_l], active=ok_l,
                 max_iter=icp_max_iter,
                 convergence_threshold=icp_convergence,
                 trim_keep=trim_keep)
             sse_i = icp_model.exact_sse_batched(
                 pct, pcs, R_i, t_i, trim_keep=trim_keep,
                 target_axis=points_axis)
+        if cubes_axis is not None:
+            sse_i = jax.lax.all_gather(sse_i, cubes_axis, tiled=True)
+            R_i = jax.lax.all_gather(R_i, cubes_axis, tiled=True)
+            t_i = jax.lax.all_gather(t_i, cubes_axis, tiled=True)
         sse_i = jnp.where(sel_ok, sse_i, BIG)
         k = jnp.argmin(sse_i)
         improve = sse_i[k] < s.best_sse
@@ -268,8 +337,7 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             + jnp.sum(splittable, dtype=jnp.int32),
             children_evaluated=s.children_evaluated
             + jnp.sum(eval_mask, dtype=jnp.int32),
-            inner_nodes=s.inner_nodes
-            + jnp.sum(st.evaluated, dtype=jnp.int32),
+            inner_nodes=s.inner_nodes + inner_ev,
             icp_runs=s.icp_runs + jnp.sum(sel_ok, dtype=jnp.int32),
             icp_triggered=s.icp_triggered
             + jnp.sum(trig & eval_mask[sel], dtype=jnp.int32),

@@ -139,7 +139,8 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
                           ref_compat_gamma: bool = False,
                           trim_keep: Optional[int] = None,
                           point_weights=None, point_deltas=None,
-                          err_share_from=None):
+                          err_share_from=None,
+                          trim_ns: Optional[int] = None):
     """Pooled inner BnB over a (cubes, points) mesh.
 
     Each cubes-shard runs its own pool over its slice of the rotation
@@ -156,7 +157,8 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
     """
     n_cubes = mesh.shape[sh.CUBES_AXIS]
     n_points = mesh.shape[sh.POINTS_AXIS]
-    trim_ns = pcs.shape[0] if trim_keep is not None else None
+    if trim_keep is not None and trim_ns is None:
+        trim_ns = pcs.shape[0]
     R = jnp.asarray(R, jnp.float32)
     g = R.shape[0]
     if group_active is None:
@@ -229,24 +231,28 @@ def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
                            point_weights=None, point_deltas=None,
                            icp_search_target=None,
                            trim_keep: Optional[int] = None, **kw):
-    """ops/so3_frontier.so3_bnb_device with the POINT axis sharded.
+    """ops/so3_frontier.so3_bnb_device over a (cubes, points) mesh.
 
-    The SO(3) frontier replicates across shards (every shard runs the
-    identical outer computation on collectively-identical values); the
-    bound-evaluation source and the ICP/exact-SSE target shard over
-    `points`, with psum'd bound sums and pmin-vote correspondences.
-    Cube-axis sharding of the device outer loop is not supported — use
-    the host outer loop for cubes parallelism.
+    The SO(3) frontier replicates across ALL shards (every shard runs
+    the identical outer computation on collectively-identical values).
+    The bound-evaluation source and the ICP/exact-SSE target shard over
+    `points` (psum'd bound sums, pmin-vote correspondences); the CHILD
+    EVALUATION work — inner pooled BnB + ICP lanes — slices over
+    `cubes`, with the per-child results all-gathered before each
+    replicated frontier update (so3_frontier module doc).  Note
+    `rotation_batch` is PER CUBE SHARD in device mode: an n-shard run
+    pops n * rotation_batch cubes per outer step, exploring the same
+    outer octree as a single-device run with rotation_batch scaled by n
+    (inner-pool scheduling order differs within the termination gap —
+    so3_frontier module doc).
     """
     from ..ops import so3_frontier as so3_ops
 
     n_cubes = mesh.shape[sh.CUBES_AXIS]
     n_points = mesh.shape[sh.POINTS_AXIS]
-    if n_cubes > 1:
-        raise ValueError(
-            "outer_mode='device' shards only the points axis; use "
-            "mesh_cubes=1 (or outer_mode='host' for cubes parallelism)")
-    trim_ns = search_pcs.shape[0] if trim_keep is not None else None
+    trim_ns = kw.pop("trim_ns", None)
+    if trim_keep is not None and trim_ns is None:
+        trim_ns = search_pcs.shape[0]
     search_p, mask_p = _pad_points(search_pcs, n_points)
     if point_weights is not None:
         w_p = jnp.pad(jnp.asarray(point_weights, jnp.float32),
@@ -279,7 +285,9 @@ def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
                 d_ if point_deltas is not None else None),
             icp_search_target=icp_tgt_, trim_keep=trim_keep,
             points_axis=points_axis, target_offset=offset,
-            trim_ns=trim_ns, **kw)
+            trim_ns=trim_ns,
+            cubes_axis=(sh.CUBES_AXIS if n_cubes > 1 else None),
+            n_cubes=n_cubes, **kw)
 
     pspec = P(sh.POINTS_AXIS)
     rep = P()

@@ -8,8 +8,8 @@ the full nested BnB on its partition with its local device mesh, and a
 small fixed-size incumbent message is all-gathered every outer step so
 every host prunes against the global best.
 
-Protocol (one message per host per round, 16 floats):
-    [best_sse, local_min_lb, idle_flag, R(9), t(3), heap_len]
+Protocol (one message per host per round, 17 floats):
+    [best_sse, local_min_lb, idle_flag, R(9), t(3), heap_len, steal_max]
 Each sync round every host adopts the global-min incumbent, then runs up
 to `engine.multihost_sync_every` outer steps (staleness bound: the
 incumbent a host prunes against is at most that many outer steps old —
@@ -49,7 +49,13 @@ from ..config import EngineConfig
 from ..models.goicp import BIG, GoICP
 from ..utils import logging as log
 
-_MSG_LEN = 16
+_MSG_LEN = 17
+
+_TIMEOUT_HINT = (
+    "multi-host allgather timed out — a peer process is likely dead or "
+    "hung.  The collective cannot recover in place; restart the job from "
+    "the latest checkpoint (engine.checkpoint_path / --resume) with the "
+    "surviving hosts.")
 
 
 def split_f64_to_f32_pairs(vec: np.ndarray) -> np.ndarray:
@@ -95,12 +101,17 @@ class ThreadCommunicator:
         }
         return [cls(r, n, shared) for r in range(n)]
 
-    def allgather(self, vec: np.ndarray) -> np.ndarray:
+    def allgather(self, vec: np.ndarray,
+                  timeout: Optional[float] = None) -> np.ndarray:
         s = self._shared
         s["slots"][self.rank] = np.asarray(vec, np.float64).copy()
-        s["fill"].wait()
-        out = np.stack(s["slots"])
-        s["drain"].wait()  # everyone has read before the next round writes
+        try:
+            s["fill"].wait(timeout)
+            out = np.stack(s["slots"])
+            # everyone has read before the next round writes
+            s["drain"].wait(timeout)
+        except threading.BrokenBarrierError:
+            raise RuntimeError(_TIMEOUT_HINT) from None
         return out
 
 
@@ -112,11 +123,38 @@ class JaxProcessCommunicator:
         self.rank = jax.process_index()
         self.size = jax.process_count()
 
-    def allgather(self, vec: np.ndarray) -> np.ndarray:
+    def allgather(self, vec: np.ndarray,
+                  timeout: Optional[float] = None) -> np.ndarray:
         from jax.experimental import multihost_utils
-        wire = multihost_utils.process_allgather(
-            split_f64_to_f32_pairs(vec))
-        return merge_f32_pairs_to_f64(np.asarray(wire))
+
+        def gather():
+            wire = multihost_utils.process_allgather(
+                split_f64_to_f32_pairs(vec))
+            return merge_f32_pairs_to_f64(np.asarray(wire))
+
+        if timeout is None:
+            return gather()
+        # The jax collective blocks forever on a dead peer; run it on a
+        # worker so the timeout converts the hang into a clean error with
+        # a recovery hint.  The worker thread stays blocked in the
+        # collective — acceptable, the error path is terminal.
+        box: list = []
+        err: list = []
+
+        def work():
+            try:
+                box.append(gather())
+            except Exception as exc:  # surfaced on the caller thread
+                err.append(exc)
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(timeout)
+        if th.is_alive():
+            raise RuntimeError(_TIMEOUT_HINT)
+        if err:
+            raise err[0]
+        return box[0]
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -157,6 +195,8 @@ class MultiHostGoICP(GoICP):
                 "multi-host Go-ICP partitions the outer cube on host; "
                 "outer_mode='device' is not supported here")
         self.comm = comm
+        self._timeout = (self.engine.multihost_timeout_s
+                         if self.engine.multihost_timeout_s > 0 else None)
         self.sync_rounds = 0
         self.idle_rounds = 0
         self.donated_nodes = 0
@@ -177,6 +217,11 @@ class MultiHostGoICP(GoICP):
         msg[3:12] = np.asarray(self.best_rotation, np.float64).reshape(9)
         msg[12:15] = np.asarray(self.best_translation, np.float64)
         msg[15] = float(len(self._heap))
+        # Carried on the wire so the steal payload length is a pure
+        # function of the gathered matrix — hosts launched with differing
+        # engine configs must still agree on whether/how to enter the
+        # second collective, or they deadlock.
+        msg[16] = float(max(0, self.engine.multihost_steal_max))
         return msg
 
     def _sync_round(self) -> bool:
@@ -186,7 +231,8 @@ class MultiHostGoICP(GoICP):
         Every decision here is a pure function of the gathered matrix —
         identical on all hosts — so no host can exit the loop while
         another re-enters the collective (that divergence deadlocks)."""
-        gathered = self.comm.allgather(self._message())
+        gathered = self.comm.allgather(self._message(),
+                                       timeout=self._timeout)
         self.sync_rounds += 1
         k = int(np.argmin(gathered[:, 0]))
         gmin = float(gathered[k, 0])
@@ -205,11 +251,13 @@ class MultiHostGoICP(GoICP):
     def _maybe_steal(self, gathered: np.ndarray) -> None:
         """Move frontier nodes from the largest heap to idle hosts.
 
-        Donor/recipient selection and the decision to run the payload
-        collective are derived from the shared matrix, so either every
-        host enters the second all-gather or none does.  Donated nodes
-        are popped from the donor (each node lives in exactly one heap)."""
-        steal_max = max(0, self.engine.multihost_steal_max)
+        Donor/recipient selection, the decision to run the payload
+        collective, AND the payload length are derived from the shared
+        matrix (steal_max rides the wire, min across hosts), so either
+        every host enters the second all-gather with identical shapes or
+        none does.  Donated nodes are popped from the donor (each node
+        lives in exactly one heap)."""
+        steal_max = int(np.min(gathered[:, 16]))
         idle = gathered[:, 2] > 0.5
         sizes = gathered[:, 15]
         n_idle = int(np.sum(idle))
@@ -226,7 +274,7 @@ class MultiHostGoICP(GoICP):
             for i, (lb, _, (x, y, z, span, ub)) in enumerate(give):
                 payload[1 + 6 * i:7 + 6 * i] = (lb, x, y, z, span, ub)
             self.donated_nodes += n_give
-        row = self.comm.allgather(payload)[donor]
+        row = self.comm.allgather(payload, timeout=self._timeout)[donor]
         cnt = int(row[0])
         if idle[self.comm.rank] and cnt > 0:
             my_idx = int(np.flatnonzero(idle).tolist().index(self.comm.rank))

@@ -14,7 +14,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def run_check():
+    """Pallas-vs-XLA lane-kernel equality on the current backend.
+
+    Returns (ok, lines).  Imported by bench.py as the real-device gate
+    (every bench run records a KERNELCHECK artifact; VERDICT r2 weak #3:
+    a Mosaic regression would pass the interpret-mode suite and only
+    surface as a wrong bench number)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +41,7 @@ def main():
     slack = backend.coreset.eps + jnp.float32(backend.eps_rank)
     rng = np.random.default_rng(0)
     failures = 0
+    lines = []
 
     for k in (512, 1024, 1536, 2048, 3037):
         if k < src.shape[0]:
@@ -68,9 +75,16 @@ def main():
         rel = max(dl, du) / max(float(jnp.max(ub_x)), 1e-9)
         ok = rel < 1e-4
         failures += (not ok)
-        print(f"ns={k}: |lb diff|={dl:.6f} |ub diff|={du:.6f} "
-              f"rel={rel:.2e} {'OK' if ok else 'MISMATCH'}", flush=True)
-    sys.exit(1 if failures else 0)
+        lines.append(f"ns={k}: |lb diff|={dl:.6f} |ub diff|={du:.6f} "
+                     f"rel={rel:.2e} {'OK' if ok else 'MISMATCH'}")
+    return failures == 0, lines
+
+
+def main():
+    ok, lines = run_check()
+    for ln in lines:
+        print(ln, flush=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

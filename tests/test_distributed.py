@@ -127,9 +127,9 @@ def test_work_stealing_transfers_nodes():
         heapq.heappush(models[0]._heap,
                        (lb, i, (0.1 * i, 0.0, 0.0, 0.25, lb + 1.0)))
     models[1]._heap = []
-    gathered = np.zeros((2, 16), np.float64)
-    gathered[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0]
-    gathered[1] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0]
+    gathered = np.zeros((2, 17), np.float64)
+    gathered[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0, 8.0]
+    gathered[1] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0, 8.0]
 
     errors = []
 
@@ -153,6 +153,51 @@ def test_work_stealing_transfers_nodes():
     # Recipient got the other four, best-first order preserved by lb.
     got = sorted(e[0] for e in models[1]._heap)
     np.testing.assert_allclose(got, [0.3, 0.5, 0.7, 0.9])
+
+
+def test_allgather_timeout_raises_clean_error():
+    """A dead peer must surface as a RuntimeError with a checkpoint
+    hint, not an eternal hang (the collective can't recover in place)."""
+    comms = dist.ThreadCommunicator.create(2)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        # Rank 1 never shows up.
+        comms[0].allgather(np.zeros(4), timeout=0.5)
+
+
+def test_steal_max_heterogeneous_configs_no_deadlock():
+    """Hosts launched with DIFFERING multihost_steal_max must still agree
+    on the steal payload shape (it rides the wire, min across hosts) and
+    converge without deadlock."""
+    pct, pcs, R_true, t_true = _problem(seed=3)
+    comms = dist.ThreadCommunicator.create(2)
+    models = [None, None]
+    results = [None, None]
+    errors = []
+
+    def host(rank):
+        try:
+            m = dist.MultiHostGoICP(
+                pct, pcs, comms[rank], mse_threshold=5e-4,
+                engine=std_engine(multihost_sync_every=2,
+                                  multihost_steal_max=4 if rank == 0 else 12),
+                bound_backend="exact")
+            models[rank] = m
+            results[rank] = m.run()
+        except Exception as e:  # pragma: no cover
+            errors.append((rank, e))
+
+    threads = [threading.Thread(target=host, args=(r,)) for r in range(2)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(timeout=600)
+    assert not errors, errors
+    assert all(r is not None for r in results), "a host deadlocked"
+    for (R, t) in results:
+        np.testing.assert_allclose(R, R_true, atol=2e-3)
+        np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert sum(m.donated_nodes for m in models) == \
+        sum(m.stolen_nodes for m in models)
 
 
 @pytest.mark.parametrize("n_hosts", [2])

@@ -108,6 +108,45 @@ def test_grouped_overflow_keeps_lb_sound():
     assert np.all(lb_sound <= np.asarray(big.best_ub) + 1e-5)
 
 
+def test_pool_max_steps_exit_keeps_lb_sound():
+    """A max_steps-truncated search leaves unexplored frontier nodes whose
+    lb can undercut the returned result; the exit clamp must fold the
+    surviving frontier minimum into dropped_lb so min(result, dropped_lb)
+    stays a valid lower bound (ADVICE r2: the certificate docs claim every
+    lossy exit is clamped — this exit path included)."""
+    backend, pcs, R, spans, fix = _problem(seed=6)
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    full = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=8192,
+                                       max_steps=3000)
+    cut = pool_frontier.bnb_r3_pooled(*args, lanes=8, capacity=4096,
+                                      max_steps=2)
+    assert int(cut.steps) == 2
+    lb_sound = np.minimum(
+        np.minimum(np.asarray(cut.best_ub), np.asarray(cut.best_err)),
+        np.asarray(cut.dropped_lb))
+    assert np.all(lb_sound <= np.asarray(full.best_ub) + 1e-5)
+    # The clamp must actually have fired for every group the truncation
+    # left unconverged (converged groups keep the gap-termination
+    # guarantee and stay unclamped).
+    act = np.asarray(cut.active)
+    assert act.any(), "2-step cutoff should leave unconverged groups"
+    assert np.all(np.asarray(cut.dropped_lb)[act] < 1e29)
+
+
+def test_grouped_max_steps_exit_keeps_lb_sound():
+    backend, pcs, R, spans, fix = _problem(seed=7)
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    full = frontier_ops.bnb_r3_batched(*args, batch=8, capacity=1024,
+                                       max_steps=500)
+    cut = frontier_ops.bnb_r3_batched(*args, batch=4, capacity=1024,
+                                      max_steps=2)
+    assert int(cut.steps) == 2
+    lb_sound = np.minimum(
+        np.minimum(np.asarray(cut.best_ub), np.asarray(cut.best_err)),
+        np.asarray(cut.dropped_lb))
+    assert np.all(lb_sound <= np.asarray(full.best_ub) + 1e-5)
+
+
 def test_pooled_trimmed_bounds():
     backend, pcs, R, spans, fix = _problem(seed=2)
     ns = pcs.shape[0]
