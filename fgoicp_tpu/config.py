@@ -104,8 +104,8 @@ class EngineConfig:
     # path currently uses this).
     frontier_mode: str = "pooled"
     # Outer SO(3) loop placement: 'host' (default) keeps the cheap
-    # sequential heap on host — supports checkpoint/resume, incumbent
-    # history, and multi-host partitioning; 'device' runs the ENTIRE
+    # sequential heap on host — supports multi-host partitioning;
+    # 'device' runs the ENTIRE
     # nested search (outer octree + inner pools + ICP refinements) in
     # one jitted while_loop (ops/so3_frontier.py) — one device call per
     # registration, amortizing the ~30 ms per-outer-step dispatch cost

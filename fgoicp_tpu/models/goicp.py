@@ -109,10 +109,6 @@ class GoICP:
         if self.engine.outer_mode not in ("host", "device"):
             raise ValueError(
                 f"Unknown outer_mode: {self.engine.outer_mode!r}")
-        if self.engine.outer_mode == "device" and self.engine.checkpoint_path:
-            raise ValueError(
-                "outer_mode='device' runs the whole BnB in one device "
-                "call and cannot checkpoint; use outer_mode='host'")
         self.ns, self.nt = len(pcs), len(pct)
         self.norm = geo.Normalization(pct, pcs)
         self.pct = self.norm.pct   # normalized target, on device
@@ -160,11 +156,16 @@ class GoICP:
             import math as _math
             src_k = (0 if self.ns <= 2048 else int(min(4096, max(
                 1024, 2 ** round(_math.log2(self.ns / 3))))))
-        if src_k > 0 and self.ns > src_k:
-            # Clusters compose with trimming since round 3: search bounds
-            # use the weighted member-level trim
-            # (bounds.reduce_clustered_trimmed); ICP/incumbent SSE always
-            # trim over the full source.
+        if src_k > 0 and self.ns > src_k and (
+                self.trim_keep is None or e.source_coreset > 0):
+            # Clusters compose with trimming since round 3 (search bounds
+            # use the weighted member-level trim,
+            # bounds.reduce_clustered_trimmed; ICP/incumbent SSE always
+            # trim over the full source) — but only when source_coreset
+            # is set EXPLICITLY: the trimmed cluster bounds carry
+            # cluster-radius slack on both drop estimates and measured
+            # ~6x more node expansions on the dragon workload, so the
+            # auto rule keeps trimmed engines on full-source bounds.
             from ..ops import coreset as coreset_ops
             self.src_clusters = coreset_ops.build_weighted(
                 self.pcs, size=src_k, seed=e.seed + 2)
@@ -188,6 +189,7 @@ class GoICP:
         self._tie = itertools.count()
         self._fingerprint = ckpt.cloud_fingerprint(pct, pcs)
         self._resumed_heap = None
+        self._resumed_so3_state = None
         # Incumbent history for observability/visualization: one entry per
         # improvement, (wall_seconds_since_run_start, sse, R, t_normalized).
         # The reference only exposes the getters + debug logs
@@ -498,11 +500,26 @@ class GoICP:
 
     def load_checkpoint(self, path: str):
         """Restore a checkpoint saved against the same cloud pair; the next
-        run() skips the initial ICP and resumes the outer BnB loop."""
+        run() skips the initial ICP and resumes the outer BnB loop.
+
+        Dispatches on the checkpoint kind: host-heap checkpoints resume
+        the host outer loop, device-state (SO3State) checkpoints resume
+        the chunked device loop; kind/mode mismatches raise with the
+        outer_mode to use (utils/checkpoint._check_header)."""
         if self.engine.outer_mode == "device":
-            raise ValueError(
-                "outer_mode='device' cannot resume a host-heap "
-                "checkpoint; use outer_mode='host'")
+            st = ckpt.load_device_state(path, fingerprint=self._fingerprint)
+            from ..ops import so3_frontier as so3_ops
+            state = so3_ops.SO3State(**{
+                f: st["state_arrays"][f] for f in so3_ops.SO3State._fields})
+            self._resumed_so3_state = state
+            self.best_sse = float(state.best_sse)
+            self.best_rotation = np.asarray(state.best_R)
+            self.best_translation = np.asarray(state.best_t)
+            self.stats = GoICPStats(**st["stats"])
+            log.info(f"Resumed device checkpoint {path}: "
+                     f"best_sse={self.best_sse}, "
+                     f"outer_steps={int(state.outer_steps)}")
+            return
         st = ckpt.load(path, fingerprint=self._fingerprint)
         self.best_sse = st["best_sse"]
         self.best_rotation = st["best_rotation"]
@@ -591,12 +608,43 @@ class GoICP:
             self.outer_step()
         return self.best_sse
 
-    def _bnb_so3_device(self):
-        """Whole nested BnB as ONE device call (ops/so3_frontier.py).
+    # SO3State counter field -> GoICPStats field (device outer mode).
+    _DEVICE_COUNTERS = {
+        "outer_steps": "outer_steps",
+        "nodes_expanded": "rotation_nodes",
+        "children_evaluated": "rotation_children",
+        "inner_nodes": "translation_nodes",
+        "icp_runs": "icp_runs",
+        "icp_triggered": "icp_triggered",
+        "pruned": "rotation_pruned",
+    }
+    _DEVICE_MAX_OUTER = 10000   # overall safety valve (host loop has none;
+    #                             chunked device calls respect it too)
 
-        Amortizes the per-outer-step dispatch cost; trades away
-        checkpoint/resume, incumbent history, and multi-host support
-        (those stay host-mode features)."""
+    def _flush_device_counters(self, st, last):
+        """Add the counter DELTA since `last` into self.stats; SO3State
+        counters are cumulative across chunk/resume boundaries."""
+        for f, g in self._DEVICE_COUNTERS.items():
+            cur = int(getattr(st, f))
+            setattr(self.stats, g, getattr(self.stats, g) + cur - last[f])
+            last[f] = cur
+
+    def _save_device_checkpoint(self, st):
+        ckpt.save_device_state(
+            self.engine.checkpoint_path,
+            state_arrays={f: np.asarray(getattr(st, f))
+                          for f in st._fields},
+            stats=dataclasses.asdict(self.stats),
+            fingerprint=self._fingerprint)
+
+    def _device_call_fn(self):
+        """Build ``call(init_state, max_outer) -> SO3State`` bound to
+        this model's engine/backend.  Shared by the single-host chunk
+        driver below and the multi-host partition driver
+        (parallel/distributed.py).  The incumbent args are re-read from
+        ``self`` at each call but IGNORED whenever ``init_state`` is
+        given (the state carries its own incumbent —
+        so3_frontier.so3_bnb_device docstring)."""
         from ..ops import so3_frontier as so3_ops
         e = self.engine
         if self.src_clusters is not None:
@@ -615,43 +663,101 @@ class GoICP:
             icp_trigger_factor=e.icp_trigger_factor,
             icp_refine_best=e.icp_refine_best,
             trim_ns=(self.ns if self.trim_keep is not None else None))
-        if self.mesh is not None:
-            # (cubes x points) mesh: frontier replicated, child
-            # evaluation sliced over cubes, clouds sharded over points.
-            st = pbnb.so3_bnb_device_sharded(
-                self.backend, self.pct, self.pcs, search_pcs,
-                jnp.float32(self.best_sse),
-                jnp.asarray(self.best_rotation, jnp.float32),
-                jnp.asarray(self.best_translation, jnp.float32),
-                jnp.float32(self.sse_threshold), mesh=self.mesh,
-                point_weights=pw, point_deltas=pd,
-                icp_search_target=self._icp_search_target,
-                trim_keep=self.trim_keep, **kw)
-        else:
-            st = so3_ops.so3_bnb_device(
-                self.backend, self.pct, self.pcs, search_pcs,
-                jnp.float32(self.best_sse),
-                jnp.asarray(self.best_rotation, jnp.float32),
-                jnp.asarray(self.best_translation, jnp.float32),
-                jnp.float32(self.sse_threshold),
-                point_weights=pw, point_deltas=pd,
-                icp_search_target=self._icp_search_target,
-                trim_keep=self.trim_keep, **kw)
+
+        def call(init_state, max_outer):
+            common = dict(point_weights=pw, point_deltas=pd,
+                          icp_search_target=self._icp_search_target,
+                          trim_keep=self.trim_keep,
+                          init_state=init_state, max_outer=max_outer,
+                          **kw)
+            args = (self.backend, self.pct, self.pcs, search_pcs,
+                    jnp.float32(self.best_sse),
+                    jnp.asarray(self.best_rotation, jnp.float32),
+                    jnp.asarray(self.best_translation, jnp.float32),
+                    jnp.float32(self.sse_threshold))
+            if self.mesh is not None:
+                # (cubes x points) mesh: frontier replicated, child
+                # evaluation sliced over cubes, clouds over points.
+                return pbnb.so3_bnb_device_sharded(
+                    *args, mesh=self.mesh, **common)
+            return so3_ops.so3_bnb_device(*args, **common)
+
+        return call
+
+    def _device_adopt(self, st, hist_seen, last=None):
+        """Fold a finished device SO3State into the host-side model:
+        improvement-history ring entries past `hist_seen`, the
+        incumbent, counter deltas (when `last` is given), and clear the
+        host heap.  Per-entry wall-clock is not observable from inside
+        a device call, so history entries carry the retrieval elapsed
+        time instead."""
+        import time as _time
+        elapsed = (0.0 if self._t_start is None
+                   else _time.time() - self._t_start)
+        n_hist = int(st.hist_len)
+        for j in range(hist_seen, n_hist):
+            self.history.append(
+                (elapsed, float(st.hist_sse[j]),
+                 np.asarray(st.hist_R[j]), np.asarray(st.hist_t[j])))
+        if n_hist == st.hist_sse.shape[0]:
+            log.debug("device history ring saturated; intermediate "
+                      "improvements beyond capacity were overwritten")
         if float(st.best_sse) < self.best_sse:
             self.best_sse = float(st.best_sse)
             self.best_rotation = np.asarray(st.best_R)
             self.best_translation = np.asarray(st.best_t)
-            self._record_improvement()
         self.last_rotation = np.asarray(st.best_R)
         self.last_translation = np.asarray(st.best_t)
-        self.stats.outer_steps += int(st.outer_steps)
-        self.stats.rotation_nodes += int(st.nodes_expanded)
-        self.stats.rotation_children += int(st.children_evaluated)
-        self.stats.translation_nodes += int(st.inner_nodes)
-        self.stats.icp_runs += int(st.icp_runs)
-        self.stats.icp_triggered += int(st.icp_triggered)
-        self.stats.rotation_pruned += int(st.pruned)
+        if last is not None:
+            self._flush_device_counters(st, last)
         self._heap = []
+
+    def _bnb_so3_device(self):
+        """Whole nested BnB on device (ops/so3_frontier.py).
+
+        Amortizes the per-outer-step dispatch cost.  Incumbent history
+        IS kept: the device loop records each improvement into a fixed
+        ring (SO3State.hist_*) folded into self.history on retrieval.
+
+        Checkpoint/resume IS supported (round 3): with checkpoint_path
+        set, the search runs in checkpoint_every-step CHUNKS — each
+        chunk one device call resuming the previous chunk's SO3State
+        (max_outer is traced, so chunks share one executable) — and the
+        state pytree persists atomically between chunks.  Without a
+        checkpoint path the whole search stays ONE device call.
+
+        Multi-host partitioning in device mode lives in
+        parallel/distributed.py (chunked device calls with incumbent
+        sync rounds between chunks)."""
+        from ..ops import so3_frontier as so3_ops
+        call = self._device_call_fn()
+        e = self.engine
+        st0 = self._resumed_so3_state
+        self._resumed_so3_state = None
+        last = {f: (0 if st0 is None else int(getattr(st0, f)))
+                for f in self._DEVICE_COUNTERS}
+        hist_seen = 0 if st0 is None else int(st0.hist_len)
+
+        chunk = (e.checkpoint_every
+                 if (e.checkpoint_path and e.checkpoint_every > 0) else 0)
+        if chunk <= 0:
+            st = call(st0, self._DEVICE_MAX_OUTER)
+        else:
+            st = st0
+            while True:
+                start = 0 if st is None else int(st.outer_steps)
+                cap = min(start + chunk, self._DEVICE_MAX_OUTER)
+                st = call(st, cap)
+                self._flush_device_counters(st, last)  # updates `last`
+                self._save_device_checkpoint(st)
+                if int(st.outer_steps) < cap or \
+                        cap >= self._DEVICE_MAX_OUTER:
+                    break   # gap closed / frontier empty / safety valve
+            # Counters already flushed chunk-by-chunk; mark them done.
+            last = None
+        # History ring entries fold in oldest-first (entries recorded
+        # before a resume belong to the previous process).
+        self._device_adopt(st, hist_seen, last)
         # A device search can end WITHOUT a certificate: the fixed
         # SO(3) frontier dropped a subtree (its lb bounds the gap open)
         # or max_outer truncated the loop.  Unlike inner-pool drops,
@@ -676,7 +782,7 @@ class GoICP:
         (fgoicp.cpp:10-30)."""
         t0 = time.time()
         self._t_start = t0
-        if self._resumed_heap is None:
+        if self._resumed_heap is None and self._resumed_so3_state is None:
             self._initial_icp()
         self._branch_and_bound_so3()
         self._final_icp()

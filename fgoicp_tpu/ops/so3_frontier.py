@@ -48,9 +48,13 @@ outer step (the host chunks through every triggered child).  With
 icp_refine_best the width is filled with the lowest-ub children; with
 it off, only triggered children among those lanes run.
 
-Not supported in device mode (use the host loop): checkpoint/resume,
-per-improvement history, and multi-host partitioning.  Mesh sharding IS
-supported on BOTH axes via parallel.bnb.so3_bnb_device_sharded:
+Not supported in device mode (use the host loop): multi-host
+partitioning.  Per-improvement incumbent history IS recorded
+(fixed-capacity ring in SO3State, read back by models/goicp.py), and
+checkpoint/resume IS supported: `init_state` + traced `max_outer` let
+models/goicp.py run the search in fixed-step chunks, persisting the
+SO3State pytree between device calls.  Mesh sharding IS supported on
+BOTH axes via parallel.bnb.so3_bnb_device_sharded:
 
 * POINT axis: pct/search_pcs shard; bound sums psum, ICP
   correspondences pmin-vote (see so3_bnb_device docstring).
@@ -104,6 +108,63 @@ class SO3State(NamedTuple):
     icp_runs: jnp.ndarray           # ICP lanes executed
     icp_triggered: jnp.ndarray      # children passing the 1.8x trigger
     pruned: jnp.ndarray
+    # Incumbent-improvement history ring (observability parity with the
+    # host loop's per-improvement history, models/goicp.py).  Fixed
+    # capacity H = history_capacity; if improvements exceed H the LAST
+    # slot keeps being overwritten, so the final incumbent is always
+    # recorded.  hist_len counts recorded entries (saturates at H).
+    hist_sse: jnp.ndarray   # [H]
+    hist_R: jnp.ndarray     # [H, 3, 3]
+    hist_t: jnp.ndarray     # [H, 3]
+    hist_step: jnp.ndarray  # [H] outer step index of each improvement
+    hist_len: jnp.ndarray   # scalar int32
+
+
+def initial_state(capacity: int, history_capacity: int = 32,
+                  best_sse=BIG, best_R=None, best_t=None,
+                  cells=None) -> SO3State:
+    """Fresh SO3State as HOST (numpy-backed) arrays.
+
+    cells: optional [(x, y, z, half_span), ...] seed frontier replacing
+    the default full quaternion cube (fgoicp.cpp:36) — used by
+    multi-host partition seeding, where each process searches its own
+    sub-cubes.  Seed lbs are 0 (the root knows nothing yet).
+
+    Host construction keeps the per-leaf device transfers to ONE staging
+    pass when the state is fed to so3_bnb_device(init_state=...) —
+    eager device ops are tunnel roundtrips on remote-attached TPUs.
+    """
+    import numpy as _np
+    cap, hc = capacity, history_capacity
+    lbs = _np.full((cap,), float(INVALID), _np.float32)
+    coords = _np.zeros((cap, 3), _np.float32)
+    spans = _np.zeros((cap,), _np.float32)
+    if cells is None:
+        cells = [(0.0, 0.0, 0.0, 1.0)]
+    if len(cells) > cap:
+        raise ValueError(f"{len(cells)} seed cells > capacity {cap}")
+    for i, (x, y, z, span) in enumerate(cells):
+        lbs[i] = 0.0
+        coords[i] = (x, y, z)
+        spans[i] = span
+    return SO3State(
+        lbs=lbs, ubs=_np.full((cap,), float(BIG), _np.float32),
+        coords=coords, spans=spans,
+        best_sse=_np.float32(best_sse),
+        best_R=_np.asarray(
+            _np.eye(3) if best_R is None else best_R, _np.float32),
+        best_t=_np.asarray(
+            _np.zeros(3) if best_t is None else best_t, _np.float32),
+        dropped_lb=_np.float32(INVALID),
+        outer_steps=_np.int32(0), nodes_expanded=_np.int32(0),
+        children_evaluated=_np.int32(0), inner_nodes=_np.int32(0),
+        icp_runs=_np.int32(0), icp_triggered=_np.int32(0),
+        pruned=_np.int32(0),
+        hist_sse=_np.full((hc,), float(BIG), _np.float32),
+        hist_R=_np.zeros((hc, 3, 3), _np.float32),
+        hist_t=_np.zeros((hc, 3), _np.float32),
+        hist_step=_np.zeros((hc,), _np.int32),
+        hist_len=_np.int32(0))
 
 
 def certified_gap(s: SO3State):
@@ -122,10 +183,11 @@ def certified_gap(s: SO3State):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rotation_batch", "capacity", "max_outer", "rotation_min_span",
+    "rotation_batch", "capacity", "rotation_min_span",
     "translation_min_span", "pool_lanes", "pool_capacity",
     "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
-    "points_axis", "trim_ns", "icp_refine_best", "cubes_axis", "n_cubes"))
+    "points_axis", "trim_ns", "icp_refine_best", "cubes_axis", "n_cubes",
+    "history_capacity"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -143,7 +205,9 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    points_axis=None, target_offset=None,
                    trim_ns: Optional[int] = None,
                    icp_refine_best: bool = True,
-                   cubes_axis=None, n_cubes: int = 1) -> SO3State:
+                   cubes_axis=None, n_cubes: int = 1,
+                   history_capacity: int = 32,
+                   init_state: Optional[SO3State] = None) -> SO3State:
     """Run the whole nested BnB on device; returns the final SO3State.
 
     pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
@@ -159,6 +223,14 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     `target_offset` as this shard's global row offset.  The SO(3)
     frontier itself is replicated: every shard runs the identical outer
     computation on collectively-identical values.
+
+    Resumable: `init_state` (an SO3State from a previous call, a
+    checkpoint, or initial_state()) continues the search in place of a
+    fresh root frontier; `max_outer` is TRACED (no recompile per value)
+    and compares against the ABSOLUTE outer_steps counter, so a chunked
+    driver passes `int(state.outer_steps) + chunk` to run `chunk` more
+    steps.  best_sse0/R0/t0 are ignored when init_state is given (the
+    state carries its own incumbent).
     """
     if (cubes_axis is None) != (n_cubes == 1):
         raise ValueError("cubes_axis and n_cubes must be set together")
@@ -178,23 +250,38 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
     share = jnp.concatenate([jnp.full((g_loc,), -1, jnp.int32),
                              jnp.arange(g_loc, dtype=jnp.int32)])
 
-    state0 = SO3State(
-        lbs=jnp.full((cap,), INVALID).at[0].set(0.0),
-        ubs=jnp.full((cap,), BIG),
-        coords=jnp.zeros((cap, 3), jnp.float32),
-        spans=jnp.zeros((cap,), jnp.float32).at[0].set(1.0),
-        best_sse=jnp.float32(best_sse0),
-        best_R=jnp.asarray(best_R0, jnp.float32),
-        best_t=jnp.asarray(best_t0, jnp.float32),
-        dropped_lb=INVALID,
-        outer_steps=jnp.int32(0),
-        nodes_expanded=jnp.int32(0),
-        children_evaluated=jnp.int32(0),
-        inner_nodes=jnp.int32(0),
-        icp_runs=jnp.int32(0),
-        icp_triggered=jnp.int32(0),
-        pruned=jnp.int32(0),
-    )
+    if init_state is None:
+        state0 = SO3State(
+            lbs=jnp.full((cap,), INVALID).at[0].set(0.0),
+            ubs=jnp.full((cap,), BIG),
+            coords=jnp.zeros((cap, 3), jnp.float32),
+            spans=jnp.zeros((cap,), jnp.float32).at[0].set(1.0),
+            best_sse=jnp.float32(best_sse0),
+            best_R=jnp.asarray(best_R0, jnp.float32),
+            best_t=jnp.asarray(best_t0, jnp.float32),
+            dropped_lb=INVALID,
+            outer_steps=jnp.int32(0),
+            nodes_expanded=jnp.int32(0),
+            children_evaluated=jnp.int32(0),
+            inner_nodes=jnp.int32(0),
+            icp_runs=jnp.int32(0),
+            icp_triggered=jnp.int32(0),
+            pruned=jnp.int32(0),
+            hist_sse=jnp.full((history_capacity,), BIG),
+            hist_R=jnp.zeros((history_capacity, 3, 3), jnp.float32),
+            hist_t=jnp.zeros((history_capacity, 3), jnp.float32),
+            hist_step=jnp.zeros((history_capacity,), jnp.int32),
+            hist_len=jnp.int32(0),
+        )
+    else:
+        if init_state.lbs.shape[0] != cap or \
+                init_state.hist_sse.shape[0] != history_capacity:
+            raise ValueError(
+                f"init_state shapes (capacity {init_state.lbs.shape[0]}, "
+                f"history {init_state.hist_sse.shape[0]}) do not match "
+                f"so3_capacity={cap} / history_capacity={history_capacity}")
+        state0 = jax.tree.map(jnp.asarray, init_state)
+    max_outer = jnp.int32(max_outer)
 
     def cond(s: SO3State):
         # Gate on the REACHABLE frontier floor only: once a capacity
@@ -313,6 +400,19 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         best_R = jnp.where(improve, R_i[k], s.best_R)
         best_t = jnp.where(improve, t_i[k], s.best_t)
 
+        # ---- incumbent history ring (SO3State doc) ----
+        hidx = jnp.minimum(s.hist_len, history_capacity - 1)
+        hist_sse = s.hist_sse.at[hidx].set(
+            jnp.where(improve, best_sse, s.hist_sse[hidx]))
+        hist_R = s.hist_R.at[hidx].set(
+            jnp.where(improve, best_R, s.hist_R[hidx]))
+        hist_t = s.hist_t.at[hidx].set(
+            jnp.where(improve, best_t, s.hist_t[hidx]))
+        hist_step = s.hist_step.at[hidx].set(
+            jnp.where(improve, s.outer_steps + 1, s.hist_step[hidx]))
+        hist_len = jnp.minimum(s.hist_len + improve.astype(jnp.int32),
+                               history_capacity)
+
         # ---- prune + push children (fgoicp.cpp:92-96) ----
         keep_eval = eval_mask & (lb_g < best_sse)
         ch_lb = jnp.where(keep_eval, lb_g,
@@ -343,6 +443,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             + jnp.sum(trig & eval_mask[sel], dtype=jnp.int32),
             pruned=s.pruned + jnp.sum(eval_mask & (lb_g >= best_sse),
                                       dtype=jnp.int32),
+            hist_sse=hist_sse, hist_R=hist_R, hist_t=hist_t,
+            hist_step=hist_step, hist_len=hist_len,
         )
 
     return jax.lax.while_loop(cond, body, state0)

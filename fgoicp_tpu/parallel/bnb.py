@@ -245,12 +245,29 @@ def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
     outer octree as a single-device run with rotation_batch scaled by n
     (inner-pool scheduling order differs within the termination gap —
     so3_frontier module doc).
+
+    Resumable like the unsharded call: `init_state`/`max_outer` ride
+    through shard_map as REPLICATED arguments (not closure constants),
+    so a chunked driver re-invoking with a new state + step cap hits
+    the same compiled executable every chunk.
     """
     from ..ops import so3_frontier as so3_ops
 
     n_cubes = mesh.shape[sh.CUBES_AXIS]
     n_points = mesh.shape[sh.POINTS_AXIS]
     trim_ns = kw.pop("trim_ns", None)
+    init_state = kw.pop("init_state", None)
+    max_outer = kw.pop("max_outer", 10000)
+    if init_state is None:
+        # Materialize the root state here so shard_map sees ONE stable
+        # input structure; so3_bnb_device then ignores best_sse0/R0/t0
+        # (the state carries the incumbent — its docstring).
+        init_state = so3_ops.initial_state(
+            kw.get("capacity", 16384),
+            history_capacity=kw.get("history_capacity", 32),
+            best_sse=float(best_sse0),
+            best_R=np.asarray(best_R0, np.float32),
+            best_t=np.asarray(best_t0, np.float32))
     if trim_keep is not None and trim_ns is None:
         trim_ns = search_pcs.shape[0]
     search_p, mask_p = _pad_points(search_pcs, n_points)
@@ -274,7 +291,7 @@ def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
     points_axis = sh.POINTS_AXIS if n_points > 1 else None
 
     def local(backend_, pct_, pcs_, search_, w_, d_, icp_tgt_, sse0_,
-              R0_, t0_, thr_):
+              R0_, t0_, thr_, st0_, max_outer_):
         offset = None
         if points_axis is not None:
             offset = (jax.lax.axis_index(points_axis).astype(jnp.int32)
@@ -287,21 +304,26 @@ def so3_bnb_device_sharded(backend, pct, pcs, search_pcs, best_sse0,
             points_axis=points_axis, target_offset=offset,
             trim_ns=trim_ns,
             cubes_axis=(sh.CUBES_AXIS if n_cubes > 1 else None),
-            n_cubes=n_cubes, **kw)
+            n_cubes=n_cubes, init_state=st0_, max_outer=max_outer_,
+            **kw)
 
     pspec = P(sh.POINTS_AXIS)
     rep = P()
-    out_specs = so3_ops.SO3State(*([rep] * len(so3_ops.SO3State._fields)))
+    state_spec = so3_ops.SO3State(
+        *([rep] * len(so3_ops.SO3State._fields)))
+    out_specs = state_spec
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(rep, pspec, rep, pspec, pspec, pspec, rep,
-                  rep, rep, rep, rep),
+                  rep, rep, rep, rep, state_spec, rep),
         out_specs=out_specs, check_vma=False)
     return fn(backend, pct, jnp.asarray(pcs, jnp.float32), search_p,
               w_p, d_p, icp_search_target, jnp.float32(best_sse0),
               jnp.asarray(best_R0, jnp.float32),
               jnp.asarray(best_t0, jnp.float32),
-              jnp.float32(sse_threshold))
+              jnp.float32(sse_threshold),
+              jax.tree.map(jnp.asarray, init_state),
+              jnp.int32(max_outer))
 
 
 def icp_sharded(pct, pcs, R0, t0, mesh: Mesh, active=None,

@@ -7,6 +7,15 @@ frontier is a host heap of plain node tuples and the incumbent is three
 small arrays, so the whole search state serializes to one .npz: atomic
 write (tmp + rename), versioned, with cloud fingerprints so a checkpoint
 is never resumed against different data.
+
+Two checkpoint kinds share the container format:
+
+* ``host_heap`` — the host outer loop's heap + incumbent (save/load).
+* ``device_state`` — the device outer loop's full SO3State array pytree
+  (save_device_state/load_device_state): outer_mode='device' runs in
+  checkpoint_every-step CHUNKS (one device call each, models/goicp.py),
+  persisting the state between chunks, so a killed device-mode run
+  resumes mid-search exactly like the host loop does.
 """
 
 from __future__ import annotations
@@ -46,6 +55,7 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
         nodes[i] = item
     payload = {
         "version": np.int64(FORMAT_VERSION),
+        "kind": np.bytes_(b"host_heap"),
         "fingerprint": np.bytes_(fingerprint.encode()),
         "heap_lbs": lbs, "heap_ties": ties, "heap_nodes": nodes,
         "tie": np.int64(tie),
@@ -54,6 +64,10 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
         "best_translation": np.asarray(best_translation, np.float64),
         "stats_json": np.bytes_(json.dumps(stats).encode()),
     }
+    _atomic_savez(path, payload)
+
+
+def _atomic_savez(path: str, payload: dict) -> None:
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -67,18 +81,67 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
         raise
 
 
-def load(path: str, *, fingerprint: str) -> dict:
-    """Load a checkpoint; raises on version/fingerprint mismatch."""
+def peek_kind(path: str) -> str:
+    """Checkpoint kind without validation ('host_heap' for v1 files
+    written before the kind field existed)."""
     with np.load(path) as z:
-        version = int(z["version"])
-        if version != FORMAT_VERSION:
-            raise ValueError(
-                f"checkpoint version {version} != {FORMAT_VERSION}")
-        ckpt_fp = bytes(z["fingerprint"]).decode()
-        if ckpt_fp != fingerprint:
-            raise ValueError(
-                f"checkpoint fingerprint {ckpt_fp} does not match the "
-                f"loaded clouds ({fingerprint}); refusing to resume")
+        return bytes(z["kind"]).decode() if "kind" in z else "host_heap"
+
+
+def _check_header(z, fingerprint: str, expect_kind: str) -> None:
+    version = int(z["version"])
+    if version != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint version {version} != {FORMAT_VERSION}")
+    kind = bytes(z["kind"]).decode() if "kind" in z else "host_heap"
+    if kind != expect_kind:
+        other = ("outer_mode='device'" if kind == "device_state"
+                 else "outer_mode='host'")
+        raise ValueError(
+            f"checkpoint kind {kind!r} cannot resume here; it was "
+            f"written by {other} — resume with that outer_mode")
+    ckpt_fp = bytes(z["fingerprint"]).decode()
+    if ckpt_fp != fingerprint:
+        raise ValueError(
+            f"checkpoint fingerprint {ckpt_fp} does not match the "
+            f"loaded clouds ({fingerprint}); refusing to resume")
+
+
+def save_device_state(path: str, *, state_arrays: dict, stats: dict,
+                      fingerprint: str) -> None:
+    """Atomically write a device-mode (SO3State) checkpoint.
+
+    state_arrays: field name -> numpy array, one per SO3State field.
+    """
+    payload = {
+        "version": np.int64(FORMAT_VERSION),
+        "kind": np.bytes_(b"device_state"),
+        "fingerprint": np.bytes_(fingerprint.encode()),
+        "stats_json": np.bytes_(json.dumps(stats).encode()),
+    }
+    for k, v in state_arrays.items():
+        payload["so3_" + k] = np.asarray(v)
+    _atomic_savez(path, payload)
+
+
+def load_device_state(path: str, *, fingerprint: str) -> dict:
+    """Load a device-mode checkpoint; raises on version/kind/fingerprint
+    mismatch.  Returns {"state_arrays": {...}, "stats": {...}}."""
+    with np.load(path) as z:
+        _check_header(z, fingerprint, "device_state")
+        arrays = {k[len("so3_"):]: np.asarray(z[k])
+                  for k in z.files if k.startswith("so3_")}
+        return {
+            "state_arrays": arrays,
+            "stats": json.loads(bytes(z["stats_json"]).decode()),
+        }
+
+
+def load(path: str, *, fingerprint: str) -> dict:
+    """Load a host-heap checkpoint; raises on version/kind/fingerprint
+    mismatch."""
+    with np.load(path) as z:
+        _check_header(z, fingerprint, "host_heap")
         heap = [
             (float(lb), int(t_), tuple(float(v) for v in node))
             for lb, t_, node in zip(z["heap_lbs"], z["heap_ties"],

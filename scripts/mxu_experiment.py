@@ -92,7 +92,9 @@ def main():
     print(f"{'Q':>9} {'mode':>9} {'wall_ms':>8} {'Mq/s':>8} "
           f"{'Top/s(9op)':>10} {'max|d2 err|':>12}")
 
-    for nq in (1_000_000, 4_000_000):
+    sizes = (4_000_000,) if "--big-only" in sys.argv else (
+        1_000_000, 4_000_000)
+    for nq in sizes:
         q = rng.uniform(-1.2, 1.2, size=(nq, 3)).astype(np.float32)
         exact = None
         for mode in ("vpu", "mxu_hilo", "mxu_bf16"):

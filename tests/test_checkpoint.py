@@ -55,6 +55,68 @@ def test_goicp_resume_matches_fresh(tmp_path):
     assert m_res.stats.icp_runs >= m_full.stats.icp_runs - 1
 
 
+def test_device_mode_chunked_resume(tmp_path):
+    """outer_mode='device' checkpoints: the search runs in
+    checkpoint_every-step chunks persisting the SO3State between device
+    calls; a killed run resumes mid-search from the last chunk."""
+    pct, pcs = _pair()
+    path = str(tmp_path / "dev.npz")
+    dev = dict(outer_mode="device", so3_capacity=2048)
+
+    # Ground truth: one-call device run, no checkpointing.
+    m_full = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(**dev))
+    m_full.run()
+
+    # Simulated kill: die right after the 2nd chunk checkpoint lands.
+    m_int = GoICP(pct, pcs, mse_threshold=5e-4,
+                  engine=std_engine(checkpoint_path=path,
+                                    checkpoint_every=1, **dev))
+    real_save = m_int._save_device_checkpoint
+    calls = []
+
+    def dying_save(st):
+        real_save(st)
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated kill")
+
+    m_int._save_device_checkpoint = dying_save
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        m_int.run()
+    assert ckpt.peek_kind(path) == "device_state"
+
+    # Resume from the on-disk chunk state and finish the search.
+    m_res = GoICP(pct, pcs, mse_threshold=5e-4,
+                  engine=std_engine(checkpoint_path=path,
+                                    checkpoint_every=1, **dev))
+    m_res.load_checkpoint(path)
+    assert m_res.stats.outer_steps >= 1   # state carried over
+    m_res.run()
+    assert m_res.best_sse <= m_full.best_sse * 1.0001 + 1e-9
+    assert m_res.mse < 5e-4
+
+
+def test_checkpoint_kind_mismatch(tmp_path):
+    """A host-heap checkpoint refuses to resume in device mode and vice
+    versa, naming the outer_mode that can."""
+    pct, pcs = _pair()
+    hpath = str(tmp_path / "host.npz")
+    mh = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine())
+    mh._heap = []
+    mh.save_checkpoint(hpath)
+    md = GoICP(pct, pcs, mse_threshold=5e-4,
+               engine=std_engine(outer_mode="device"))
+    with pytest.raises(ValueError, match="outer_mode='host'"):
+        md.load_checkpoint(hpath)
+
+    dpath = str(tmp_path / "dev.npz")
+    ckpt.save_device_state(
+        dpath, state_arrays={"best_sse": np.float32(1.0)}, stats={},
+        fingerprint=mh._fingerprint)
+    with pytest.raises(ValueError, match="outer_mode='device'"):
+        mh.load_checkpoint(dpath)
+
+
 def test_checkpoint_rejects_wrong_clouds(tmp_path):
     pct, pcs = _pair()
     path = str(tmp_path / "bnb.npz")

@@ -43,12 +43,16 @@ def _worker(rank: int, coordinator: str) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+    # jax.distributed.initialize must run before ANYTHING touches the XLA
+    # backend — importing fgoicp_tpu builds module-level jnp constants, so
+    # the runtime comes up first, bare.
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=2, process_id=rank)
     from util import std_engine
     from fgoicp_tpu.parallel import distributed as dist
 
-    comm = dist.initialize(coordinator_address=coordinator,
-                           num_processes=2, process_id=rank)
-    assert isinstance(comm, dist.JaxProcessCommunicator)
+    comm = dist.JaxProcessCommunicator()
     assert comm.size == 2 and comm.rank == rank
 
     pct, pcs, R_true, t_true = _problem()

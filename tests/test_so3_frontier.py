@@ -9,7 +9,7 @@ import numpy as np
 from fgoicp_tpu.ops import so3_frontier as so3
 
 
-def _state(lbs0, dropped_lb, best_sse=1.0, cap=8):
+def _state(lbs0, dropped_lb, best_sse=1.0, cap=8, hist=4):
     lbs = jnp.full((cap,), so3.INVALID).at[0].set(jnp.float32(lbs0))
     return so3.SO3State(
         lbs=lbs, ubs=jnp.full((cap,), so3.BIG),
@@ -21,7 +21,12 @@ def _state(lbs0, dropped_lb, best_sse=1.0, cap=8):
         outer_steps=jnp.int32(0), nodes_expanded=jnp.int32(0),
         children_evaluated=jnp.int32(0), inner_nodes=jnp.int32(0),
         icp_runs=jnp.int32(0), icp_triggered=jnp.int32(0),
-        pruned=jnp.int32(0))
+        pruned=jnp.int32(0),
+        hist_sse=jnp.full((hist,), so3.BIG),
+        hist_R=jnp.zeros((hist, 3, 3), jnp.float32),
+        hist_t=jnp.zeros((hist, 3), jnp.float32),
+        hist_step=jnp.zeros((hist,), jnp.int32),
+        hist_len=jnp.int32(0))
 
 
 def test_certified_gap_exhausted_frontier_certifies():
