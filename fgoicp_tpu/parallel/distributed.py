@@ -35,6 +35,18 @@ The communicator is pluggable: `JaxProcessCommunicator` rides
 jax.experimental.multihost_utils over a real multi-process jax.distributed
 runtime; `ThreadCommunicator` runs N simulated hosts in threads for tests
 (tests/test_distributed.py) with identical semantics.
+
+Both outer modes are supported (round 3): `outer_mode="host"` steps the
+host heap between sync rounds; `outer_mode="device"` runs each host's
+partition as multihost_sync_every-step CHUNKS of the on-device nested
+BnB (ops/so3_frontier.py — the partition cells seed the device frontier
+via initial_state, max_outer is traced so all chunks share one
+executable), with the same 17-float sync protocol between chunks and
+work stealing implemented as host-side surgery on the lb-sorted
+SO3State rows.  A device search that stalls with an open certificate
+(capacity drops / the step valve) falls back to the partitioned host
+loop on ALL ranks together — the decision is a pure function of the
+gathered matrix.
 """
 
 from __future__ import annotations
@@ -190,10 +202,6 @@ class MultiHostGoICP(GoICP):
 
     def __init__(self, pct, pcs, comm, **kwargs):
         super().__init__(pct, pcs, **kwargs)
-        if self.engine.outer_mode == "device":
-            raise ValueError(
-                "multi-host Go-ICP partitions the outer cube on host; "
-                "outer_mode='device' is not supported here")
         self.comm = comm
         self._timeout = (self.engine.multihost_timeout_s
                          if self.engine.multihost_timeout_s > 0 else None)
@@ -288,7 +296,185 @@ class MultiHostGoICP(GoICP):
                      (float(x), float(y), float(z), float(span), float(ub))))
                 self.stolen_nodes += 1
 
+    # ----- device outer mode: chunked device calls + sync rounds -----
+    #
+    # Each host seeds its SO3State frontier from its partition cells and
+    # runs the WHOLE nested BnB on device in multihost_sync_every-step
+    # chunks (one jitted call each, shared executable — max_outer is
+    # traced).  Between chunks the same 17-float protocol as host mode
+    # synchronizes incumbents: the adopted global best is written INTO
+    # the device state, so the next chunk prunes against it.  Work
+    # stealing moves frontier rows between states host-side (the state
+    # is lb-sorted, so rows 1..n are the donor's next-best nodes).  The
+    # staleness bound matches host mode: the incumbent a chunk prunes
+    # against is at most sync_every outer steps old.
+
+    def _device_floor_idle(self, st):
+        """(certificate_floor, reachable_floor, idle) for the wire."""
+        from ..ops import so3_frontier as so3
+        reach = float(np.asarray(st.lbs)[0])
+        cert = min(reach, float(st.dropped_lb))
+        idle = (reach >= float(so3.INVALID)
+                or float(st.best_sse) - reach <= self.sse_threshold
+                or int(st.outer_steps) >= self._DEVICE_MAX_OUTER)
+        return cert, reach, idle
+
+    def _message_device(self, st) -> np.ndarray:
+        from ..ops import so3_frontier as so3
+        cert, _, idle = self._device_floor_idle(st)
+        msg = np.empty((_MSG_LEN,), np.float64)
+        msg[0] = float(st.best_sse)
+        msg[1] = cert
+        msg[2] = 1.0 if idle else 0.0
+        msg[3:12] = np.asarray(st.best_R, np.float64).reshape(9)
+        msg[12:15] = np.asarray(st.best_t, np.float64)
+        msg[15] = float(np.sum(np.asarray(st.lbs) < float(so3.INVALID)))
+        msg[16] = float(max(0, self.engine.multihost_steal_max))
+        return msg
+
+    def _sync_round_device(self, st):
+        """All-gather incumbents; adopt the global best into the device
+        state; rebalance frontier rows.  Returns (status, st) with
+        status in {'run', 'converged', 'stalled'} — a pure function of
+        the gathered matrix, identical on all hosts ('stalled' = every
+        host idle but the certificate gap still open, i.e. capacity
+        drops / the step valve; the caller falls back to the host loop
+        on all ranks together)."""
+        gathered = self.comm.allgather(self._message_device(st),
+                                       timeout=self._timeout)
+        self.sync_rounds += 1
+        k = int(np.argmin(gathered[:, 0]))
+        gmin = float(gathered[k, 0])
+        if gmin < float(st.best_sse):
+            st = st._replace(
+                best_sse=np.float32(gmin),
+                best_R=np.asarray(gathered[k, 3:12].reshape(3, 3),
+                                  np.float32),
+                best_t=np.asarray(gathered[k, 12:15], np.float32))
+        global_min_lb = float(np.min(gathered[:, 1]))
+        if gmin - global_min_lb <= self.sse_threshold:
+            return "converged", st
+        if bool(np.all(gathered[:, 2] > 0.5)):
+            return "stalled", st
+        st = self._maybe_steal_device(gathered, st)
+        return "run", st
+
+    def _maybe_steal_device(self, gathered: np.ndarray, st):
+        """Host-mode _maybe_steal, operating on lb-sorted SO3State rows
+        instead of a heap.  Same pure-function collective contract."""
+        from ..ops import so3_frontier as so3
+        steal_max = int(np.min(gathered[:, 16]))
+        idle = gathered[:, 2] > 0.5
+        sizes = gathered[:, 15]
+        n_idle = int(np.sum(idle))
+        donor = int(np.argmax(np.where(~idle, sizes, -1.0)))
+        if steal_max == 0 or n_idle == 0 or idle[donor] or sizes[donor] < 2:
+            return st
+        payload = np.zeros((1 + 6 * steal_max,), np.float64)
+        if self.comm.rank == donor:
+            lbs = np.asarray(st.lbs).copy()
+            ubs = np.asarray(st.ubs).copy()
+            coords = np.asarray(st.coords).copy()
+            spans = np.asarray(st.spans).copy()
+            n_valid = int(np.sum(lbs < float(so3.INVALID)))
+            n_give = min(steal_max, n_valid - 1)
+            payload[0] = float(n_give)
+            for i in range(n_give):
+                r = 1 + i   # row 0 = donor's best node, kept
+                payload[1 + 6 * i:7 + 6 * i] = (
+                    lbs[r], coords[r, 0], coords[r, 1], coords[r, 2],
+                    spans[r], ubs[r])
+            lbs[1:1 + n_give] = float(so3.INVALID)
+            ubs[1:1 + n_give] = float(so3.BIG)
+            spans[1:1 + n_give] = 0.0
+            order = np.argsort(lbs, kind="stable")
+            st = st._replace(lbs=lbs[order], ubs=ubs[order],
+                             coords=coords[order], spans=spans[order])
+            self.donated_nodes += n_give
+        row = self.comm.allgather(payload, timeout=self._timeout)[donor]
+        cnt = int(row[0])
+        if idle[self.comm.rank] and cnt > 0:
+            my_idx = int(np.flatnonzero(idle).tolist().index(self.comm.rank))
+            take = [row[1 + 6 * i:7 + 6 * i]
+                    for i in range(cnt) if i % n_idle == my_idx]
+            if take:
+                lbs = np.concatenate(
+                    [np.asarray(st.lbs),
+                     np.asarray([n[0] for n in take], np.float32)])
+                ubs = np.concatenate(
+                    [np.asarray(st.ubs),
+                     np.asarray([n[5] for n in take], np.float32)])
+                coords = np.concatenate(
+                    [np.asarray(st.coords),
+                     np.asarray([n[1:4] for n in take], np.float32)])
+                spans = np.concatenate(
+                    [np.asarray(st.spans),
+                     np.asarray([n[4] for n in take], np.float32)])
+                cap = np.asarray(st.lbs).shape[0]
+                order = np.argsort(lbs, kind="stable")
+                dropped_lb = float(st.dropped_lb)
+                if len(order) > cap:
+                    spill = lbs[order[cap:]]
+                    spill = spill[spill < float(so3.INVALID)]
+                    if spill.size:   # capacity overflow: certificate clamp
+                        dropped_lb = min(dropped_lb, float(spill.min()))
+                order = order[:cap]
+                st = st._replace(
+                    lbs=lbs[order], ubs=ubs[order], coords=coords[order],
+                    spans=spans[order],
+                    dropped_lb=np.float32(dropped_lb))
+                self.stolen_nodes += len(take)
+        return st
+
+    def _bnb_so3_device_multihost(self) -> bool:
+        """Partitioned device-outer search; returns True when it ended
+        with an OPEN certificate (all hosts stalled on drops/valve) and
+        the caller must re-certify with the host loop."""
+        from ..ops import so3_frontier as so3
+        e = self.engine
+        call = self._device_call_fn()
+        st = self._resumed_so3_state
+        self._resumed_so3_state = None
+        if st is None:
+            st = so3.initial_state(
+                e.so3_capacity, best_sse=self.best_sse,
+                best_R=self.best_rotation, best_t=self.best_translation,
+                cells=self.root_nodes())
+        last = {f: int(getattr(st, f)) for f in self._DEVICE_COUNTERS}
+        hist_seen = int(st.hist_len)
+        sync_every = max(1, e.multihost_sync_every)
+        status = "run"
+        while True:
+            status, st = self._sync_round_device(st)
+            if status != "run":
+                break
+            _, _, idle = self._device_floor_idle(st)
+            if idle:
+                self.idle_rounds += 1
+                continue
+            cap = min(int(st.outer_steps) + sync_every,
+                      self._DEVICE_MAX_OUTER)
+            st = call(st, cap)
+            self._flush_device_counters(st, last)
+            if e.checkpoint_path and e.checkpoint_every > 0:
+                self._save_device_checkpoint(st)
+        self._device_adopt(st, hist_seen, last)
+        log.debug(f"[host {self.comm.rank}] device BnB {status}: "
+                  f"{self.sync_rounds} sync rounds, {self.idle_rounds} "
+                  f"idle, {self.donated_nodes} donated / "
+                  f"{self.stolen_nodes} stolen, best={self.best_sse}")
+        return status == "stalled"
+
     def _branch_and_bound_so3(self):
+        if self.engine.outer_mode == "device":
+            open_cert = self._bnb_so3_device_multihost()
+            if not open_cert:
+                return self.best_sse
+            log.warning(
+                "Multi-host device SO(3) search stalled with an open "
+                "certificate gap (frontier drops or the step valve) — "
+                "re-certifying with the partitioned host loop (raise "
+                "engine.so3_capacity to avoid this)")
         self.seed_heap()
         sync_every = max(1, self.engine.multihost_sync_every)
         while True:

@@ -200,6 +200,25 @@ def test_steal_max_heterogeneous_configs_no_deadlock():
         sum(m.stolen_nodes for m in models)
 
 
+def test_multihost_device_mode_matches():
+    """outer_mode='device' multi-host (round 3): each host runs its
+    SO(3) partition as chunked device calls (one jitted nested BnB per
+    chunk) with incumbent sync rounds between chunks; work stealing
+    moves frontier rows between device states host-side."""
+    pct, pcs, R_true, t_true = _problem()
+    models, results = _run_hosts(
+        2, pct, pcs, dict(outer_mode="device", so3_capacity=2048,
+                          multihost_sync_every=2, multihost_steal_max=4))
+    for m in models:
+        assert m.mse < 5e-4
+    for (R, t) in results:
+        np.testing.assert_allclose(R, R_true, atol=2e-3)
+        np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert all(m.sync_rounds == models[0].sync_rounds for m in models)
+    assert sum(m.donated_nodes for m in models) == \
+        sum(m.stolen_nodes for m in models)
+
+
 @pytest.mark.parametrize("n_hosts", [2])
 def test_multihost_matches_single_host(n_hosts):
     pct, pcs, R_true, t_true = _problem()
