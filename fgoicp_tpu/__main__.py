@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Enable jax_debug_nans: fail fast on any NaN in "
                         "the compute path (the reference's cudaCheckError "
                         "analog, common.cpp:7-21)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="Enable the search-state sanitizer "
+                        "(utils/sanitize.py): frontier structure, "
+                        "lb <= ub bracketing, and incumbent faithfulness "
+                        "validated every outer step")
     p.add_argument("--version", action="version",
                    version=f"%(prog)s {__version__}")
     return p
@@ -64,6 +69,8 @@ def run(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     cfg = Config.from_toml(args.config)
+    if args.debug_checks:
+        cfg.engine.debug_checks = True
     if args.seed is not None:
         cfg.engine.seed = args.seed
     if args.mesh_cubes is not None:

@@ -188,6 +188,11 @@ class EngineConfig:
     # Checkpoint/resume of BnB state ("" = disabled).
     checkpoint_path: str = ""
     checkpoint_every: int = 0       # outer steps between checkpoints
+    # Search-state sanitizer (utils/sanitize.py): validate frontier
+    # structure, lb <= ub bracketing, and incumbent faithfulness at
+    # every outer step / device chunk boundary.  Debug mode — one extra
+    # exact-SSE evaluation per checked point (CLI: --debug-checks).
+    debug_checks: bool = False
 
 
 @dataclasses.dataclass

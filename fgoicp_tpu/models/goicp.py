@@ -597,6 +597,10 @@ class GoICP:
                      (cx, cy, cz, cspan, float(ub[k]))))
         self.stats.outer_steps += 1
         self._maybe_checkpoint()
+        if e.debug_checks:
+            from ..utils import sanitize
+            sanitize.check_heap(self._heap)
+            sanitize.check_incumbent(self)
         return True
 
     def _branch_and_bound_so3(self):
@@ -628,6 +632,13 @@ class GoICP:
             cur = int(getattr(st, f))
             setattr(self.stats, g, getattr(self.stats, g) + cur - last[f])
             last[f] = cur
+
+    def _sanitize_device_state(self, st):
+        """Run the search-state sanitizer on a retrieved SO3State when
+        engine.debug_checks is on (chunk boundaries + final retrieval)."""
+        if self.engine.debug_checks:
+            from ..utils import sanitize
+            sanitize.check_device_state(st)
 
     def _save_device_checkpoint(self, st):
         ckpt.save_device_state(
@@ -711,6 +722,10 @@ class GoICP:
         if last is not None:
             self._flush_device_counters(st, last)
         self._heap = []
+        if self.engine.debug_checks:
+            from ..utils import sanitize
+            sanitize.check_device_state(st)
+            sanitize.check_incumbent(self)
 
     def _bnb_so3_device(self):
         """Whole nested BnB on device (ops/so3_frontier.py).
@@ -748,6 +763,7 @@ class GoICP:
                 start = 0 if st is None else int(st.outer_steps)
                 cap = min(start + chunk, self._DEVICE_MAX_OUTER)
                 st = call(st, cap)
+                self._sanitize_device_state(st)
                 self._flush_device_counters(st, last)  # updates `last`
                 self._save_device_checkpoint(st)
                 if int(st.outer_steps) < cap or \

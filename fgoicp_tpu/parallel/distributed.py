@@ -455,6 +455,7 @@ class MultiHostGoICP(GoICP):
             cap = min(int(st.outer_steps) + sync_every,
                       self._DEVICE_MAX_OUTER)
             st = call(st, cap)
+            self._sanitize_device_state(st)
             self._flush_device_counters(st, last)
             if e.checkpoint_path and e.checkpoint_every > 0:
                 self._save_device_checkpoint(st)
