@@ -104,7 +104,7 @@ class EngineConfig:
     # path currently uses this).
     frontier_mode: str = "pooled"
     # Outer SO(3) loop placement: 'host' (default) keeps the cheap
-    # sequential heap on host — supports multi-host partitioning;
+    # sequential heap on host (unbounded frontier — cannot overflow);
     # 'device' runs the ENTIRE
     # nested search (outer octree + inner pools + ICP refinements) in
     # one jitted while_loop (ops/so3_frontier.py) — one device call per
