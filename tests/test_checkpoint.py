@@ -96,6 +96,28 @@ def test_device_mode_chunked_resume(tmp_path):
     assert m_res.mse < 5e-4
 
 
+def test_device_mode_chunked_resume_on_mesh(tmp_path):
+    """Chunked device checkpointing composes with (cubes x points)
+    sharding: init_state/max_outer ride through shard_map as replicated
+    arguments, so every chunk reuses one executable and a resumed run
+    reaches the same optimum."""
+    pct, pcs = _pair()
+    path = str(tmp_path / "devmesh.npz")
+    dev = dict(outer_mode="device", so3_capacity=2048,
+               mesh_cubes=2, mesh_points=4,
+               checkpoint_path=path, checkpoint_every=2)
+    m = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(**dev))
+    m.run()
+    assert m.mse < 5e-4
+    assert ckpt.peek_kind(path) == "device_state"
+
+    m_res = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(**dev))
+    m_res.load_checkpoint(path)
+    m_res.run()
+    assert abs(m_res.best_sse - m.best_sse) <= \
+        1e-3 * max(m.best_sse, 1e-9) + 1e-9
+
+
 def test_checkpoint_kind_mismatch(tmp_path):
     """A host-heap checkpoint refuses to resume in device mode and vice
     versa, naming the outer_mode that can."""
