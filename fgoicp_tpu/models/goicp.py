@@ -530,6 +530,73 @@ class GoICP:
         log.info(f"Resumed checkpoint {path}: best_sse={self.best_sse}, "
                  f"{len(self._resumed_heap)} frontier nodes")
 
+    def load_checkpoints(self, paths):
+        """Elastic multi-host recovery: merge several checkpoints — one
+        per host of a dead partitioned run (parallel/distributed.py) —
+        into this model's resume state, then run() standalone (or as a
+        re-partitioned smaller cluster's rank 0).
+
+        Soundness: the multi-host partition keeps every unexplored
+        SO(3) subtree in exactly one host's frontier, so the UNION of
+        the hosts' frontiers plus the min incumbent re-covers the
+        entire not-yet-pruned region — resuming ONE host's checkpoint
+        alone would silently drop the other hosts' subtrees and void
+        the optimality certificate.  All checkpoints must carry this
+        cloud pair's fingerprint and the kind matching
+        engine.outer_mode.  Counters sum; wall_seconds takes the max.
+        """
+        paths = list(paths)
+        if not paths:
+            raise ValueError("load_checkpoints needs at least one path")
+        if len(paths) == 1:
+            return self.load_checkpoint(paths[0])
+
+        def merge_stats(acc, new):
+            if acc is None:
+                return dict(new)
+            return {k: (max(acc[k], v) if k == "wall_seconds"
+                        else acc[k] + v) for k, v in new.items()}
+
+        if self.engine.outer_mode == "device":
+            from ..ops import so3_frontier as so3_ops
+            states, stats = [], None
+            for p in paths:
+                st = ckpt.load_device_state(
+                    p, fingerprint=self._fingerprint)
+                states.append(so3_ops.SO3State(**{
+                    f: st["state_arrays"][f]
+                    for f in so3_ops.SO3State._fields}))
+                stats = merge_stats(stats, st["stats"])
+            merged = so3_ops.merge_states(states)
+            self._resumed_so3_state = merged
+            self.best_sse = float(merged.best_sse)
+            self.best_rotation = np.asarray(merged.best_R)
+            self.best_translation = np.asarray(merged.best_t)
+            self.stats = GoICPStats(**stats)
+            log.info(f"Merged {len(paths)} device checkpoints: "
+                     f"best_sse={self.best_sse}")
+            return
+        heap, tie, stats = [], 0, None
+        best = (BIG, None, None)
+        for p in paths:
+            st = ckpt.load(p, fingerprint=self._fingerprint)
+            for lb, _t, node in st["heap"]:
+                heap.append((lb, tie, node))
+                tie += 1
+            if st["best_sse"] < best[0]:
+                best = (st["best_sse"], st["best_rotation"],
+                        st["best_translation"])
+            stats = merge_stats(stats, st["stats"])
+        if best[1] is not None:
+            self.best_sse = best[0]
+            self.best_rotation = best[1]
+            self.best_translation = best[2]
+        self.stats = GoICPStats(**stats)
+        self._tie = itertools.count(tie)
+        self._resumed_heap = heap
+        log.info(f"Merged {len(paths)} host checkpoints: "
+                 f"best_sse={self.best_sse}, {len(heap)} frontier nodes")
+
     def _record_improvement(self):
         import time as _time
         elapsed = 0.0 if self._t_start is None else _time.time() - self._t_start

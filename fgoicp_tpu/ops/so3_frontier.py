@@ -167,6 +167,65 @@ def initial_state(capacity: int, history_capacity: int = 32,
         hist_len=_np.int32(0))
 
 
+def merge_states(states) -> SO3State:
+    """Merge several SO3States — one per host of a partitioned run —
+    into one HOST (numpy) state for elastic recovery
+    (models/goicp.py:load_checkpoints).
+
+    The multi-host partition keeps every unexplored subtree in exactly
+    one host's frontier, so the UNION of the frontiers plus the min-sse
+    incumbent re-covers the entire not-yet-pruned region.  Rows past
+    the shared capacity spill into the dropped_lb certificate clamp
+    (same rule as the device loop's own overflow).  Counters sum (the
+    merged state carries the work all hosts did); the improvement ring
+    of the incumbent-owning state is kept (rings are per-host
+    observability, not search state).
+    """
+    import numpy as _np
+    cap = states[0].lbs.shape[0]
+    hc = states[0].hist_sse.shape[0]
+    for s in states[1:]:
+        if s.lbs.shape[0] != cap or s.hist_sse.shape[0] != hc:
+            raise ValueError(
+                "cannot merge SO3States with different capacities")
+    lbs = _np.concatenate([_np.asarray(s.lbs) for s in states])
+    ubs = _np.concatenate([_np.asarray(s.ubs) for s in states])
+    coords = _np.concatenate([_np.asarray(s.coords) for s in states])
+    spans = _np.concatenate([_np.asarray(s.spans) for s in states])
+    order = _np.argsort(lbs, kind="stable")
+    dropped = min(float(s.dropped_lb) for s in states)
+    spill = lbs[order[cap:]]
+    spill = spill[spill < float(INVALID)]
+    if spill.size:
+        dropped = min(dropped, float(spill.min()))
+    order = order[:cap]
+    k = int(_np.argmin([float(s.best_sse) for s in states]))
+    best = states[k]
+
+    def tot(f):
+        return _np.int32(sum(int(getattr(s, f)) for s in states))
+
+    return SO3State(
+        lbs=_np.asarray(lbs[order], _np.float32),
+        ubs=_np.asarray(ubs[order], _np.float32),
+        coords=_np.asarray(coords[order], _np.float32),
+        spans=_np.asarray(spans[order], _np.float32),
+        best_sse=_np.float32(best.best_sse),
+        best_R=_np.asarray(best.best_R, _np.float32),
+        best_t=_np.asarray(best.best_t, _np.float32),
+        dropped_lb=_np.float32(dropped),
+        outer_steps=tot("outer_steps"),
+        nodes_expanded=tot("nodes_expanded"),
+        children_evaluated=tot("children_evaluated"),
+        inner_nodes=tot("inner_nodes"), icp_runs=tot("icp_runs"),
+        icp_triggered=tot("icp_triggered"), pruned=tot("pruned"),
+        hist_sse=_np.asarray(best.hist_sse, _np.float32),
+        hist_R=_np.asarray(best.hist_R, _np.float32),
+        hist_t=_np.asarray(best.hist_t, _np.float32),
+        hist_step=_np.asarray(best.hist_step, _np.int32),
+        hist_len=_np.int32(best.hist_len))
+
+
 def certified_gap(s: SO3State):
     """Optimality gap the final state actually certifies: incumbent
     minus the lowest lower bound anywhere — the frontier minimum or a

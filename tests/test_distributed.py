@@ -200,6 +200,45 @@ def test_steal_max_heterogeneous_configs_no_deadlock():
         sum(m.stolen_nodes for m in models)
 
 
+def test_elastic_recovery_merges_host_checkpoints(tmp_path):
+    """Elastic recovery (GoICP.load_checkpoints): a 2-host partitioned
+    run dies mid-search; a SINGLE host resumes from the union of both
+    per-host checkpoints and still reaches the global optimum.  The
+    union matters — each checkpoint holds only its partition's
+    frontier, so resuming one alone would drop the other's subtrees."""
+    pct, pcs, R_true, t_true = _problem()
+    comms = dist.ThreadCommunicator.create(2)
+    paths = [str(tmp_path / f"host{r}.npz") for r in range(2)]
+    models = []
+    for r in range(2):
+        m = dist.MultiHostGoICP(pct, pcs, comms[r], mse_threshold=5e-4,
+                                engine=std_engine(), bound_backend="exact")
+        m._initial_icp()
+        m.seed_heap()
+        models.append(m)
+    # A few local outer steps per host with NO sync rounds (the
+    # coordinator "died"), then each host's crash checkpoint.
+    for r, m in enumerate(models):
+        for _ in range(2):
+            if m._heap:
+                m.outer_step()
+        m.save_checkpoint(paths[r])
+
+    fresh = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+                  bound_backend="exact")
+    fresh.run()
+
+    rec = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+                bound_backend="exact")
+    rec.load_checkpoints(paths)
+    R, t = rec.run()
+    assert rec.mse < 5e-4
+    np.testing.assert_allclose(R, R_true, atol=2e-3)
+    np.testing.assert_allclose(t, t_true, atol=2e-3)
+    assert abs(rec.best_sse - fresh.best_sse) <= \
+        1e-3 * max(fresh.best_sse, 1e-9) + 1e-9
+
+
 def test_multihost_device_mode_matches():
     """outer_mode='device' multi-host (round 3): each host runs its
     SO(3) partition as chunked device calls (one jitted nested BnB per

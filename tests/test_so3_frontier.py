@@ -29,6 +29,35 @@ def _state(lbs0, dropped_lb, best_sse=1.0, cap=8, hist=4):
         hist_len=jnp.int32(0))
 
 
+def test_merge_states_union_and_spill():
+    """merge_states (elastic recovery): union of live rows lb-sorted,
+    min-sse incumbent adopted, capacity spill folded into dropped_lb,
+    counters summed."""
+    R1 = np.eye(3, dtype=np.float32)
+    a = so3.initial_state(8, best_sse=2.0,
+                          cells=[(0.5, 0.5, 0.5, 0.5)])
+    a = a._replace(outer_steps=np.int32(3))
+    b = so3.initial_state(8, best_sse=1.0, best_R=R1,
+                          best_t=np.array([1, 2, 3], np.float32),
+                          cells=[(-0.5, -0.5, -0.5, 0.5),
+                                 (0.5, -0.5, 0.5, 0.5)])
+    b = b._replace(outer_steps=np.int32(4))
+    m = so3.merge_states([a, b])
+    assert float(m.best_sse) == 1.0
+    np.testing.assert_array_equal(m.best_t, [1, 2, 3])
+    assert int(np.sum(np.asarray(m.lbs) < so3.INVALID)) == 3
+    assert int(m.outer_steps) == 7
+    assert float(m.dropped_lb) >= so3.INVALID  # no spill at cap 8
+
+    # Overflow: two full cap-2 frontiers merge into cap 2 -> 2 rows
+    # spill; their min lb (0.0) must clamp dropped_lb.
+    cells2 = [(0.5, 0.5, 0.5, 0.5), (-0.5, 0.5, 0.5, 0.5)]
+    c = so3.initial_state(2, best_sse=5.0, cells=cells2)
+    d = so3.initial_state(2, best_sse=6.0, cells=cells2)
+    md = so3.merge_states([c, d])
+    assert float(md.dropped_lb) == 0.0
+
+
 def test_certified_gap_exhausted_frontier_certifies():
     """Empty frontier + no drops = the search explored everything: the
     gap must be decisively negative (certified), via the explicit
