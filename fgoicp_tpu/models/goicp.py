@@ -140,14 +140,22 @@ class GoICP:
                 self.pct, kind=bound_backend, proxy_size=proxy_size,
                 seed=e.seed)
 
-        # Search-phase ICP target: the proxy coreset when it is smaller
+        # Search-phase ICP target: a proxy coreset when it is smaller
         # than the full target (see _icp docstring; the incumbent sse is
-        # always re-scored exactly).
+        # always re-scored exactly).  LUT-backend engines get one built
+        # on the side — bound evaluation reads the distance field, but
+        # the search ICPs still iterate orders of magnitude faster on a
+        # 4k coreset than on the full target (round-2 lever, BASELINE.md).
         self._icp_search_target = None
-        if (e.icp_search_on_proxy
-                and isinstance(self.backend, bounds_ops.ProxyBackend)
-                and self.backend.coreset.points.shape[0] < self.nt):
-            self._icp_search_target = self.backend.coreset.points
+        if e.icp_search_on_proxy and proxy_size < self.nt:
+            if isinstance(self.backend, bounds_ops.ProxyBackend):
+                cs_pts = self.backend.coreset.points
+                if cs_pts.shape[0] < self.nt:
+                    self._icp_search_target = cs_pts
+            elif not e.ref_compat_lut:
+                from ..ops import coreset as coreset_ops
+                self._icp_search_target = coreset_ops.build(
+                    self.pct, size=proxy_size, seed=e.seed).points
 
         # Hierarchical source clusters for SEARCH bounds (config docstring).
         self.src_clusters = None

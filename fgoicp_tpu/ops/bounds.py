@@ -83,11 +83,20 @@ class LutBackend:
         default=False, metadata={"static": True})
 
     @property
-    def total_slack(self):
-        # field slack (builder error + storage quantization) + trilinear
-        # interpolation bound for a 1-Lipschitz function over a cell
-        # diagonal.
-        return self.field.slack + geo.SQRT3 / self.field.inv_res
+    def interp_slack(self):
+        """Trilinear interpolation error bound for a 1-Lipschitz field.
+
+        interp(q) is a convex combination of the 8 cell-corner values;
+        each corner value differs from f(q) by at most ||q - c_i||, so
+        |interp - f(q)| <= sum_i w_i ||q - c_i||.  By Jensen,
+        (sum w_i ||q - c_i||)^2 <= sum w_i ||q - c_i||^2, and the
+        right side factorizes per axis as sum_a f_a (1 - f_a) <= 3/4
+        (f_a = the fractional coordinate; the 1D weighted second moment
+        of {0, 1} about f is exactly f(1-f)).  Hence the bound is
+        (sqrt(3)/2) * res — half the naive cell-diagonal bound, attained
+        at the cell center.
+        """
+        return (geo.SQRT3 / 2.0) / self.field.inv_res
 
 
 Backend = Union[ProxyBackend, LutBackend]
@@ -164,8 +173,36 @@ def distance_estimates(backend: Backend, queries):
             return d, d  # reference behavior: raw lookup, no slack
         d = df_ops.lookup(backend.field, queries)
         if backend.conservative:
-            s = backend.total_slack
-            return d + s, d - s
+            # Asymmetric per-lookup-tight bracket (DistanceField error
+            # model): with stored node value s, interpolated lookup L at
+            # the CLAMPED query q_c, quantization |quantized - s| <=
+            # qe * s, interpolation |interp - s(q_c)| <= iota, and the
+            # EDT seeding bracket
+            #   d(q_c) - delta <= s(q_c) <= sqrt((d(q_c)+delta)^2 + delta^2),
+            # the true NN distance at q_c satisfies
+            #   d(q_c) <= L/(1-qe) + iota + delta
+            #   d(q_c) >= relu(sqrt(relu((L/(1+qe) - iota)^2 - delta^2))
+            #             - delta).
+            # The lower form inverts the upper bracket (monotone in s),
+            # asymptotically delta tighter than the symmetric worst case
+            # sqrt(2)*delta used before round 3.  Out-of-box queries
+            # (exc = box_excess > 0) extend the bracket to q itself:
+            #   d(q) <= d(q_c) + exc             (1-Lipschitz)
+            #   d(q)^2 >= d(q_c)^2 + exc^2       (per-axis clamp split)
+            # — the second line is TIGHTER than the border distance the
+            # reference's texture clamp returns (registration.cu:226-228).
+            qe = backend.field.quant_eps
+            iota = backend.interp_slack
+            delta = backend.field.assign_delta
+            exc = df_ops.box_excess(backend.field, queries)
+            s_up = d / (1.0 - qe) + iota
+            s_lo = jnp.maximum(d / (1.0 + qe) - iota, 0.0)
+            d_ub = s_up + delta + exc
+            lb_c = jnp.maximum(
+                jnp.sqrt(jnp.maximum(s_lo ** 2 - delta ** 2, 0.0)) - delta,
+                0.0)
+            d_lb = jnp.sqrt(lb_c ** 2 + exc ** 2)
+            return d_ub, d_lb
         return d, d
     raise TypeError(f"Unknown backend type: {type(backend)}")
 

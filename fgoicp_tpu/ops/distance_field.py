@@ -20,13 +20,15 @@ TPU-native redesign (conscious differences, all documented):
   target point seeds its nearest grid node with its exact squared
   distance, then three 1D passes compute
   D(u) = min_p [ ||u - v(p)||^2 + ||v(p) - p||^2 ],
-  which brackets the true d within [-delta, +sqrt(2)*delta] where
-  delta = (sqrt(3)/2) * res is the point-to-node assignment radius
-  (upper side compounds as sqrt((d+delta)^2 + delta^2) at small d), i.e.
-  |stored - true| <= sqrt(3/2) * res.  That slack is carried in the field and can be
-  folded into BnB bounds for strictly valid pruning (`slack` attr) — a
-  guarantee the reference's LUT does not offer.  A brute-force builder
-  (exact, zero slack) is kept for small grids and for testing.
+  which brackets the true d as
+      d - delta <= stored <= sqrt((d + delta)^2 + delta^2)
+  where delta = (sqrt(3)/2) * res is the point-to-node assignment radius
+  (worst absolute error sqrt(2)*delta = sqrt(3/2)*res, at d=0).  The
+  bracket parameters ride in the field (`assign_delta`, `quant_eps`) so
+  bounds.distance_estimates can form asymmetric, per-lookup-tight valid
+  estimates — a guarantee the reference's LUT does not offer.  A
+  brute-force builder (exact, zero slack) is kept for small grids and
+  for testing.
 
 * **Lookup is 8-corner gather + manual lerp** on a flat HBM array; the
   reference's half-texel offset (tex3D samples at i+0.5 but queries are
@@ -64,16 +66,36 @@ BIG = 1e10
 
 
 class DistanceField(NamedTuple):
-    """Pytree: dense distance grid + affine query mapping."""
+    """Pytree: dense distance grid + affine query mapping.
 
-    values: jnp.ndarray   # [X, Y, Z] distances (dtype configurable)
-    origin: jnp.ndarray   # [3] world position of grid node (0,0,0)
-    inv_res: jnp.ndarray  # scalar 1/resolution
-    slack: jnp.ndarray    # scalar: |stored - true| <= slack (world units)
+    Error model (consumed by bounds.distance_estimates): with true NN
+    distance d and stored node value s,
+
+        d - assign_delta <= s <= sqrt((d + assign_delta)^2 + assign_delta^2)
+
+    (assign_delta = the point-to-node seeding radius of the EDT builder;
+    0 for the exact brute builder), and the dtype-narrowed value qv
+    satisfies |qv - s| <= quant_eps * s (relative rounding; 0 for f32).
+    Keeping the pieces separate lets the consumer form ASYMMETRIC,
+    per-lookup-tight estimates instead of one worst-case absolute slack.
+    """
+
+    values: jnp.ndarray       # [X, Y, Z] distances (dtype configurable)
+    origin: jnp.ndarray       # [3] world position of grid node (0,0,0)
+    inv_res: jnp.ndarray      # scalar 1/resolution
+    assign_delta: jnp.ndarray  # scalar: EDT seeding radius (0 = exact)
+    quant_eps: jnp.ndarray    # scalar: relative storage rounding bound
 
     @property
     def dims(self):
         return self.values.shape
+
+    @property
+    def slack(self):
+        """Absolute node-value error bound |stored - true| (f32 fields):
+        the upper bracket sqrt((d+delta)^2+delta^2) - d peaks at
+        sqrt(2)*delta (d=0) and dominates the lower side's delta."""
+        return math.sqrt(2.0) * self.assign_delta
 
 
 def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024,
@@ -263,27 +285,29 @@ def build(points, bounds, resolution, builder: str = "auto",
     log.debug(f"Building distance field dims={dims} builder={builder}")
     if builder == "brute":
         vals = _build_brute(points, origin, jnp.float32(resolution), dims)
-        slack = 0.0
+        delta = 0.0
     elif builder == "edt":
+        # Each point seeds its NEAREST grid node: assignment radius =
+        # half the cell diagonal.
+        delta = (math.sqrt(3.0) / 2.0) * resolution
         vals = _build_edt(points, origin, jnp.float32(resolution), dims)
-        slack = math.sqrt(1.5) * resolution
     elif builder == "ref":
         vals = _build_brute(points, origin, jnp.float32(resolution), dims,
                             squared=True)
-        slack = 0.0  # no guarantee in compat mode (module doc)
+        delta = 0.0  # no guarantee in compat mode (module doc)
     else:
         raise ValueError(f"Unknown distance-field builder: {builder}")
     vals = vals.astype(dtype)
-    slack = jnp.float32(slack)
     quant_eps = {jnp.dtype(jnp.bfloat16): 2.0 ** -8,
-                 jnp.dtype(jnp.float16): 2.0 ** -11}.get(jnp.dtype(dtype))
-    if quant_eps is not None and builder != "ref":
-        slack = slack + jnp.max(vals).astype(jnp.float32) * quant_eps
+                 jnp.dtype(jnp.float16): 2.0 ** -11}.get(jnp.dtype(dtype), 0.0)
+    if builder == "ref":
+        quant_eps = 0.0  # compat mode carries no guarantee anyway
     return DistanceField(
         values=vals,
         origin=origin,
         inv_res=jnp.float32(1.0 / resolution),
-        slack=slack,
+        assign_delta=jnp.float32(delta),
+        quant_eps=jnp.float32(quant_eps),
     )
 
 
@@ -326,10 +350,34 @@ def lookup(field: DistanceField, queries):
     """Trilinear distance lookup for queries [..., 3] (world coordinates).
 
     Out-of-box queries clamp to the border, reproducing the reference's
-    cudaAddressModeClamp behavior (registration.cu:226-228).
+    cudaAddressModeClamp behavior (registration.cu:226-228).  The clamped
+    value estimates d at the CLAMPED point; callers needing valid
+    estimates at the query itself must fold in `box_excess` (see
+    bounds.distance_estimates).
     """
     q = jnp.asarray(queries, jnp.float32)
     return _trilinear(field, (q - field.origin) * field.inv_res)
+
+
+def box_excess(field: DistanceField, queries):
+    """Euclidean distance from each query to the field's node box.
+
+    0 for in-box queries.  Because the target cloud lies inside the box,
+    per-axis clamping toward it never moves away from any target point,
+    so with q_c = clamp(q) and any target p:
+        |q[a] - p[a]| >= |q_c[a] - p[a]|   per axis, and
+        d(q)^2 >= d(q_c)^2 + ||q - q_c||^2  (clamped axes split exactly).
+    Consumers use this to keep clamped-border lookups valid at q:
+    d(q) <= d(q_c) + excess (1-Lipschitz) and the quadrature form above
+    tightens the lower estimate for far-out queries — where the
+    reference's texture clamp silently returns the border distance
+    (registration.cu:226-228).
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    dims = jnp.asarray(field.values.shape, jnp.float32)
+    hi = field.origin + (dims - 1.0) / field.inv_res
+    out = jnp.maximum(jnp.maximum(field.origin - q, q - hi), 0.0)
+    return jnp.sqrt(jnp.sum(out * out, axis=-1))
 
 
 def lookup_ref_compat(field: DistanceField, queries):

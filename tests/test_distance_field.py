@@ -202,12 +202,35 @@ class TestSoundness:
         assert np.all(np.asarray(d_lb) <= true + 1e-5)
         assert np.all(np.asarray(d_ub) >= true - 1e-5)
 
+    def test_far_out_of_box_queries_stay_bracketed(self, cloud):
+        """Queries far beyond the field box: the clamped lookup estimates
+        d at the CLAMPED point, so both estimates must fold in the
+        box-excess distance (d_ub via Lipschitz, d_lb via the exact
+        per-axis clamp split d(q)^2 >= d(q_c)^2 + exc^2).  Round-3 fix:
+        the old absolute slack silently under-covered the ub side here."""
+        from fgoicp_tpu.ops import bounds as bounds_ops
+        res = 0.07
+        field = df.build(cloud, _bounds(cloud), res, builder="edt")
+        be = bounds_ops.make_backend(cloud, kind="lut", field=field)
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.uniform(-2.0, 2.0, size=(512, 3)), jnp.float32)
+        d_ub, d_lb = bounds_ops.distance_estimates(be, q)
+        true = np.sqrt(np.asarray(
+            nn_ops.nearest_sqdist(q, jnp.asarray(cloud))))
+        assert np.all(np.asarray(d_lb) <= true + 1e-5)
+        assert np.all(np.asarray(d_ub) >= true - 1e-5)
+        # And the far-out lower estimate beats the border distance the
+        # reference's texture clamp would return (it grows with ||q||).
+        far = np.linalg.norm(np.asarray(q), axis=-1) > 1.5
+        assert np.asarray(d_lb)[far].min() > float(np.asarray(
+            df.lookup(field, q)).max())
+
     def test_bf16_field_slack_covers_quantization(self, cloud):
         from fgoicp_tpu.ops import bounds as bounds_ops
         res = 0.07
         field = df.build(cloud, _bounds(cloud), res, builder="brute",
                          dtype=jnp.bfloat16)
-        assert float(field.slack) > 0.0  # quantization folded in
+        assert float(field.quant_eps) > 0.0  # rounding bound recorded
         be = bounds_ops.make_backend(cloud, kind="lut", field=field)
         rng = np.random.default_rng(4)
         q = jnp.asarray(rng.uniform(-0.6, 0.6, size=(256, 3)), jnp.float32)

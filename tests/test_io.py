@@ -1,5 +1,7 @@
 """Tests for config parsing and point-cloud IO."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -78,6 +80,43 @@ mse_threshold = 1e-3
                                            "pool_lanes": 512.0}})
         assert cfg.engine.icp_trigger_factor == 2.0
         assert cfg.engine.pool_lanes == 512
+
+
+class TestReferenceConfigs:
+    """Parse the reference's OWN shipped run configs byte-for-byte
+    (/root/reference/test/*.toml) — schema parity with utilities.hpp:61-106
+    proven against the real artifacts, not reconstructions.  Skipped when
+    the reference mount is absent."""
+
+    REF = "/root/reference/test"
+
+    @pytest.fixture(autouse=True)
+    def _need_ref(self):
+        if not os.path.isdir(self.REF):
+            pytest.skip("reference configs not mounted")
+
+    def test_bunny_toml(self):
+        cfg = Config.from_toml(f"{self.REF}/bunny.toml")
+        assert cfg.io.target.endswith("data/bunny/model_bunny.txt")
+        assert cfg.io.source.endswith("data/bunny/data_bunny.txt")
+        assert cfg.io.output == "output.toml"
+        assert cfg.io.visualization == "viz.ply"
+        assert cfg.params.trim is True
+        assert cfg.params.target_subsample == 0.5
+        assert cfg.params.source_subsample == 0.1
+        assert cfg.params.lut_resolution == 0.002
+        assert cfg.params.mse_threshold == 1e-3
+
+    def test_skull_toml(self):
+        # Has keys no parser consumes ([info] version, [params] mode —
+        # the reference ignores them too, utilities.hpp:61-106) and must
+        # parse cleanly around them.
+        cfg = Config.from_toml(f"{self.REF}/skull_goicp.toml")
+        assert cfg.io.target.endswith("data/artec3d/model_skull.ply")
+        assert cfg.params.target_subsample == 0.03
+        assert cfg.params.source_subsample == 0.1
+        assert cfg.params.lut_resolution == 0.005
+        assert cfg.params.mse_threshold == 1e-3
 
 
 class TestPly:
