@@ -252,7 +252,9 @@ class GoICP:
             if target is not self.pct:
                 sse = icp_model.exact_sse_batched(
                     self.pct, self.pcs, R, t, trim_keep=self.trim_keep)
-        return np.asarray(sse), np.asarray(R), np.asarray(t)
+        # ONE batched fetch: separate np.asarray calls are three
+        # serialized device->host roundtrips through the tunnel.
+        return jax.device_get((sse, R, t))
 
     def _icp_padded(self, R0, t0, n_active, convergence, search=False):
         """ICP in chunks of the fixed lane width (pads the tail with
@@ -271,8 +273,9 @@ class GoICP:
                                  (w - k, 1, 1))])
                 tc = np.concatenate([tc, np.zeros((w - k, 3), np.float32)])
             active = np.arange(w) < max(0, min(n_active - i, w))
-            sse, R, t = self._icp(jnp.asarray(Rc), jnp.asarray(tc),
-                                  jnp.asarray(active), convergence,
+            # numpy args transfer WITH the jit dispatch; eager
+            # jnp.asarray staging would be three extra tunnel roundtrips.
+            sse, R, t = self._icp(Rc, tc, active, convergence,
                                   search=search)
             outs.append((sse[:k], R[:k], t[:k]))
         return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
@@ -372,6 +375,17 @@ class GoICP:
         act2 = jnp.concatenate([active, active])
         return R, R2, spans2, fix2, act2
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("g",))
+    def _eval_outputs(st, g):
+        """Fuse the per-call readback of an inner-BnB state into ONE
+        device computation (each eager slice/min/sum op + separate
+        np.asarray is its own tunnel roundtrip on remote-attached TPUs —
+        the chain was ~2x the while_loop's own cost per outer step)."""
+        lb_raw = jnp.minimum(st.best_ub[g:], st.best_err[g:])
+        return (st.best_ub[:g], st.best_t[:g], lb_raw, st.dropped_lb[g:],
+                jnp.sum(st.evaluated), st.steps, jnp.sum(st.dropped))
+
     def _evaluate_children(self, children):
         """One device call: ub-pass + lb-pass inner BnB for all children."""
         e = self.engine
@@ -379,8 +393,8 @@ class GoICP:
         n = len(children)
         arr = np.zeros((g, 4), np.float32)
         arr[:n] = np.asarray(children, np.float32)
-        R, R2, spans2, fix2, act2 = self._prep_children(
-            jnp.asarray(arr), n, g)
+        # numpy arg transfers with the jit dispatch (no eager staging).
+        R, R2, spans2, fix2, act2 = self._prep_children(arr, n, g)
 
         if self.src_clusters is not None:
             search_pcs = self.src_clusters.reps
@@ -426,8 +440,6 @@ class GoICP:
                 batch=e.translation_batch, capacity=e.frontier_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep)
 
-        ub = np.asarray(st.best_ub[:g])[:n]
-        best_t = np.asarray(st.best_t[:g])[:n]
         # Rotation lb = the lb-pass result.  min(achieved, pruning
         # incumbent): at gap termination best_err <= relaxed_min +
         # sse_threshold, so this keeps the reference's threshold-slack
@@ -436,19 +448,22 @@ class GoICP:
         # bound sound when frontier-capacity overflow discarded an
         # unexplored node that could hold the min-lb witness (frontier.py
         # module doc) — without it the certificate is silently voided.
-        lb_raw = np.asarray(
-            jnp.minimum(st.best_ub[g:], st.best_err[g:]))[:n]
-        drop_clamp = np.asarray(st.dropped_lb[g:])[:n]
+        (ub_g, bt_g, lb_raw_g, drop_g, evaluated, steps, dropped), R = \
+            jax.device_get((self._eval_outputs(st, g), R))
+        ub = ub_g[:n]
+        best_t = bt_g[:n]
+        lb_raw = lb_raw_g[:n]
+        drop_clamp = drop_g[:n]
         lb = np.minimum(lb_raw, drop_clamp)
         if np.any(drop_clamp < lb_raw):
             log.warning(
                 f"Inner-BnB pool overflow clamped {int(np.sum(drop_clamp < lb_raw))} "
                 f"rotation lower bound(s); the search stays exact but "
                 f"slower — increase engine.pool_capacity")
-        self.stats.translation_nodes += int(np.asarray(st.evaluated).sum())
-        self.stats.inner_loop_steps += int(st.steps)
-        self.stats.dropped_nodes += int(np.asarray(st.dropped).sum())
-        return np.asarray(R), ub, best_t, lb
+        self.stats.translation_nodes += int(evaluated)
+        self.stats.inner_loop_steps += int(steps)
+        self.stats.dropped_nodes += int(dropped)
+        return R, ub, best_t, lb
 
     def _refine_candidates(self, R, children, ub, best_t):
         """Batched ICP on children passing the trigger (fgoicp.cpp:74-88),
@@ -830,14 +845,19 @@ class GoICP:
 
         chunk = (e.checkpoint_every
                  if (e.checkpoint_path and e.checkpoint_every > 0) else 0)
+        # Every retrieved state comes back through ONE jax.device_get
+        # (SO3State is ~0.5 MB): all downstream bookkeeping — counters,
+        # history ring, checkpoint writes, the certificate gap — then
+        # runs on host numpy.  Reading the fields eagerly is ~20 blocking
+        # tunnel roundtrips (~25 ms each) per retrieval.
         if chunk <= 0:
-            st = call(st0, self._DEVICE_MAX_OUTER)
+            st = jax.device_get(call(st0, self._DEVICE_MAX_OUTER))
         else:
             st = st0
             while True:
                 start = 0 if st is None else int(st.outer_steps)
                 cap = min(start + chunk, self._DEVICE_MAX_OUTER)
-                st = call(st, cap)
+                st = jax.device_get(call(st, cap))
                 self._sanitize_device_state(st)
                 self._flush_device_counters(st, last)  # updates `last`
                 self._save_device_checkpoint(st)
@@ -855,7 +875,11 @@ class GoICP:
         # those subtrees are unrecoverable on device — re-certify with
         # the host loop, which restarts the octree from the root but
         # inherits the device incumbent, so pruning closes it fast.
-        gap = float(so3_ops.certified_gap(st))
+        # (Host-side mirror of so3_frontier.certified_gap on the fetched
+        # numpy state.)
+        floor = min(float(st.lbs[0]), float(st.dropped_lb))
+        gap = -float(so3_ops.BIG) if floor >= float(so3_ops.INVALID) \
+            else float(st.best_sse) - floor
         if gap > self.sse_threshold:
             log.warning(
                 f"Device SO(3) search ended with an open certificate "

@@ -55,6 +55,7 @@ import heapq
 import threading
 from typing import Optional, Sequence
 
+import jax
 import numpy as np
 
 from ..config import EngineConfig
@@ -454,7 +455,10 @@ class MultiHostGoICP(GoICP):
                 continue
             cap = min(int(st.outer_steps) + sync_every,
                       self._DEVICE_MAX_OUTER)
-            st = call(st, cap)
+            # ONE fetch per chunk: the sync/steal protocol reads ~20
+            # state fields host-side, each its own blocking tunnel
+            # roundtrip on a device pytree (goicp._bnb_so3_device doc).
+            st = jax.device_get(call(st, cap))
             self._sanitize_device_state(st)
             self._flush_device_counters(st, last)
             if e.checkpoint_path and e.checkpoint_every > 0:

@@ -93,9 +93,13 @@ def main():
     # tiny min_span (children always spawn until max_steps).
     def pooled(ms):
         # min_span=0: spans halve forever (no drain before max_steps).
+        # sse_threshold=-1: the gap check (best_err - minlb < thr) can
+        # never pass, so EVERY step up to max_steps does real work — with
+        # a positive threshold the groups converge once spans shrink and
+        # the finite difference below measures converged no-op exits.
         return pool_frontier.bnb_r3_pooled(
             backend, pcs, R, spans, fix, jnp.float32(1e12),
-            jnp.float32(1e-9), min_span=0.0, lanes=args.lanes,
+            jnp.float32(-1.0), min_span=0.0, lanes=args.lanes,
             capacity=args.capacity, max_steps=ms)
 
     w = timeit(pooled, args.steps)
