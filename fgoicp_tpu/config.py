@@ -152,6 +152,12 @@ class EngineConfig:
     # Distance field.
     lut_dtype: str = "float32"      # float32 | bfloat16 | float16
     lut_builder: str = "auto"       # auto | brute | edt
+    # LUT query form: "nearest" = 1 gather/query, "trilinear" = 8 (the
+    # reference's texture filtering).  The 1-Lipschitz worst-case error
+    # bound is sqrt(3)/2*res for both, so conservative certificates are
+    # identical; "auto" = nearest when conservative (gathers are the
+    # whole cost of a TPU LUT query), trilinear in raw/ref modes.
+    lut_lookup: str = "auto"        # auto | nearest | trilinear
     lut_max_dim: int = 2048         # hard error above (registration.cu:191)
     lut_warn_dim: int = 1024        # warn above (registration.cu:195)
     # Fold builder + interpolation + storage-quantization slack into the

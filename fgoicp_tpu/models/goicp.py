@@ -134,7 +134,7 @@ class GoICP:
             self.backend = bounds_ops.make_backend(
                 self.pct, kind="lut", field=field,
                 conservative=e.lut_conservative,
-                ref_compat=e.ref_compat_lut)
+                ref_compat=e.ref_compat_lut, lookup=e.lut_lookup)
         else:
             self.backend = bounds_ops.make_backend(
                 self.pct, kind=bound_backend, proxy_size=proxy_size,

@@ -81,6 +81,13 @@ class LutBackend:
     # parity debugging; carries NO bound-validity guarantee.
     ref_compat: bool = dataclasses.field(
         default=False, metadata={"static": True})
+    # lookup: "nearest" (default; 1 gather/query) or "trilinear"
+    # (8 gathers, the reference's texture filtering).  The 1-Lipschitz
+    # worst-case error bound is sqrt(3)/2 * res for BOTH (interp_slack /
+    # distance_field.lookup_nearest docstrings), so the certificate is
+    # unchanged; on TPU gathers are the whole cost of a LUT query.
+    lookup: str = dataclasses.field(
+        default="nearest", metadata={"static": True})
 
     @property
     def interp_slack(self):
@@ -106,7 +113,7 @@ def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
                  rank_precision: str = "highest",
                  field: Optional[df_ops.DistanceField] = None,
                  conservative: bool = True, ref_compat: bool = False,
-                 seed: int = 0) -> Backend:
+                 lookup: str = "auto", seed: int = 0) -> Backend:
     """Build a distance backend over the (normalized) target cloud."""
     if kind == "proxy":
         cs = coreset_ops.build(target, size=proxy_size, seed=seed)
@@ -120,9 +127,16 @@ def make_backend(target, kind: str = "proxy", proxy_size: int = 4096,
                             eps_rank=0.0)
     if kind == "lut":
         assert field is not None, "lut backend requires a built DistanceField"
-        return LutBackend(field=field,
-                          conservative=conservative and not ref_compat,
-                          ref_compat=ref_compat)
+        cons = conservative and not ref_compat
+        if lookup == "auto":
+            # Certificate-equivalent single-gather form when the slack
+            # is folded anyway; trilinear (the reference's filtering)
+            # when reproducing raw-lookup behavior.
+            lookup = "nearest" if cons else "trilinear"
+        if lookup not in ("nearest", "trilinear"):
+            raise ValueError(f"Unknown lut lookup mode: {lookup!r}")
+        return LutBackend(field=field, conservative=cons,
+                          ref_compat=ref_compat, lookup=lookup)
     raise ValueError(f"Unknown bound backend: {kind}")
 
 
@@ -171,7 +185,9 @@ def distance_estimates(backend: Backend, queries):
         if backend.ref_compat:
             d = df_ops.lookup_ref_compat(backend.field, queries)
             return d, d  # reference behavior: raw lookup, no slack
-        d = df_ops.lookup(backend.field, queries)
+        d = (df_ops.lookup_nearest(backend.field, queries)
+             if backend.lookup == "nearest"
+             else df_ops.lookup(backend.field, queries))
         if backend.conservative:
             # Asymmetric per-lookup-tight bracket (DistanceField error
             # model): with stored node value s, interpolated lookup L at

@@ -359,6 +359,31 @@ def lookup(field: DistanceField, queries):
     return _trilinear(field, (q - field.origin) * field.inv_res)
 
 
+def lookup_nearest(field: DistanceField, queries):
+    """Nearest-grid-node lookup: ONE gather per query instead of
+    trilinear's eight.
+
+    For the 1-Lipschitz stored field the worst-case error bound is
+    IDENTICAL to trilinear's: the nearest node sits within
+    (sqrt(3)/2) * res of the query (L-inf res/2 per axis), and the
+    trilinear bound is the same sqrt(3)/2 * res (bounds.interp_slack —
+    both peak at the cell center).  The reference uses trilinear because
+    GPU texture hardware gives it for free (registration.cu:214-234); on
+    TPU a gather from HBM is the entire cost of a LUT query, so the
+    certificate-equivalent single-gather form is ~8x less random
+    traffic.  Out-of-box queries clamp like `lookup`.
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    x, y, z = field.values.shape
+    c = (q - field.origin) * field.inv_res
+    idx = jnp.clip(jnp.round(c).astype(jnp.int32),
+                   jnp.zeros(3, jnp.int32),
+                   jnp.asarray([x - 1, y - 1, z - 1], jnp.int32))
+    lin = (idx[..., 0] * y + idx[..., 1]) * z + idx[..., 2]
+    return jnp.take(field.values.reshape(-1), lin,
+                    mode="clip").astype(jnp.float32)
+
+
 def box_excess(field: DistanceField, queries):
     """Euclidean distance from each query to the field's node box.
 

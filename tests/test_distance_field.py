@@ -146,6 +146,29 @@ class TestLookup:
         out = df.lookup(field, q)
         assert out.shape == (4, 5)
 
+    def test_nearest_lookup_matches_node_values(self, cloud):
+        field = df.build(cloud, _bounds(cloud), 0.1, builder="brute")
+        x, y, z = field.dims
+        idx = np.array([[0, 0, 0], [x - 1, y - 1, z - 1], [2, 1, 3]])
+        # Offset each query by < res/2 per axis: still snaps to the node.
+        q = np.asarray(field.origin) + idx * 0.1 + \
+            np.array([[0.03, -0.04, 0.02]] * 3)
+        got = np.asarray(df.lookup_nearest(field, jnp.asarray(q, jnp.float32)))
+        expect = [float(field.values[tuple(i)]) for i in idx]
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_nearest_lookup_within_lipschitz_bound(self, cloud):
+        """|nearest lookup - true d| <= builder slack + sqrt(3)/2 * res —
+        the same worst case as trilinear (lookup_nearest docstring)."""
+        res = 0.05
+        field = df.build(cloud, _bounds(cloud), res, builder="brute")
+        rng = np.random.default_rng(6)
+        q = rng.uniform(-0.45, 0.45, size=(256, 3)).astype(np.float32)
+        got = np.asarray(df.lookup_nearest(field, jnp.asarray(q)))
+        true = np.sqrt(np.asarray(
+            nn_ops.nearest_sqdist(jnp.asarray(q), jnp.asarray(cloud))))
+        assert np.abs(got - true).max() <= np.sqrt(3) / 2 * res + 1e-6
+
 
 class TestRefCompat:
     def test_ref_dims_no_plus_one(self):

@@ -39,7 +39,7 @@ def _problem():
     return pct, pcs, R_true, t_true
 
 
-def _worker(rank: int, coordinator: str) -> None:
+def _worker(rank: int, coordinator: str, mode: str = "host") -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -59,7 +59,8 @@ def _worker(rank: int, coordinator: str) -> None:
     m = dist.MultiHostGoICP(
         pct, pcs, comm, mse_threshold=5e-4,
         engine=std_engine(multihost_sync_every=2, multihost_steal_max=8,
-                          multihost_timeout_s=300.0),
+                          multihost_timeout_s=300.0, outer_mode=mode,
+                          so3_capacity=2048),
         bound_backend="exact")
     R, t = m.run()
     print("RESULT " + json.dumps({
@@ -76,11 +77,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(
-    os.environ.get("FGOICP_SLOW") != "1",
-    reason="opt-in: real 2-process jax.distributed run (set FGOICP_SLOW=1)")
-def test_two_process_jax_distributed_end_to_end():
+def _run_two_processes(mode: str):
     port = _free_port()
     coord = f"localhost:{port}"
     env = dict(os.environ)
@@ -91,7 +88,7 @@ def test_two_process_jax_distributed_end_to_end():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("FGOICP_TEST_REEXEC", None)
     procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), str(rank), coord],
+        [sys.executable, os.path.abspath(__file__), str(rank), coord, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for rank in range(2)]
     outs = []
@@ -128,5 +125,25 @@ def test_two_process_jax_distributed_end_to_end():
                                by_rank[1]["best_sse"], rtol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("FGOICP_SLOW") != "1",
+    reason="opt-in: real 2-process jax.distributed run (set FGOICP_SLOW=1)")
+def test_two_process_jax_distributed_end_to_end():
+    _run_two_processes("host")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("FGOICP_SLOW") != "1",
+    reason="opt-in: real 2-process jax.distributed run (set FGOICP_SLOW=1)")
+def test_two_process_jax_distributed_device_outer():
+    """Same real wire, outer_mode='device': partitioned chunked device
+    BnB with incumbent sync + frontier-row stealing between chunks
+    (distributed.py:_bnb_so3_device_multihost)."""
+    _run_two_processes("device")
+
+
 if __name__ == "__main__":
-    _worker(int(sys.argv[1]), sys.argv[2])
+    _worker(int(sys.argv[1]), sys.argv[2],
+            sys.argv[3] if len(sys.argv) > 3 else "host")
