@@ -192,6 +192,20 @@ def _build_brute(points, origin, resolution, dims, cell_chunk=32768,
     return vals.reshape(dims)
 
 
+def _use_pallas_minplus() -> bool:
+    """Opt-in (FGOICP_TPU_PALLAS_MINPLUS=1): a hand-tiled Pallas
+    min-plus kernel exists (ops/pallas_minplus.py) and is equality-
+    tested, but it LOSES to this XLA form at production shape —
+    measured 10.6 s vs 4.9 s for the res-0.002 bunny field build
+    (scripts/minplus_experiment.py; BASELINE.md round-3 ledger).  The
+    XLA lowering already fuses the broadcast+min at ~2 vreg-ops per
+    element; the kernel pays a third op for the sublane->lane broadcast
+    plus block-size padding.  Kept for study and as the measurement
+    harness."""
+    import os
+    return bool(os.environ.get("FGOICP_TPU_PALLAS_MINPLUS"))
+
+
 def _minplus_1d(g, resolution, out_chunk=128, line_chunk=1024):
     """Exact 1D parabolic min-plus transform along the last axis.
 
@@ -206,6 +220,10 @@ def _minplus_1d(g, resolution, out_chunk=128, line_chunk=1024):
     registration.cu:186-198) relying on XLA to fuse a [L, n, oc]
     broadcast would gamble 0.5 TB of HBM on a fusion heuristic.
     """
+    if _use_pallas_minplus():
+        from . import pallas_minplus
+        return pallas_minplus.minplus_1d(
+            g, resolution, interpret=(jax.default_backend() != "tpu"))
     l, n = g.shape
     j_idx = jnp.arange(n, dtype=jnp.float32)
     n_pad = (-n) % out_chunk

@@ -87,6 +87,20 @@ class TestChunkingAndBudget:
         np.testing.assert_allclose(np.asarray(a.values), np.asarray(vals),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_pallas_minplus_matches_xla(self):
+        """The opt-in Pallas min-plus kernel (kept as a measured
+        experiment — it loses to the XLA form at production shape,
+        scripts/minplus_experiment.py) must stay value-equal."""
+        from fgoicp_tpu.ops import pallas_minplus
+        rng = np.random.default_rng(9)
+        for (l, n) in [(5, 17), (40, 130)]:
+            g = jnp.asarray(rng.uniform(0, 4.0, size=(l, n)), jnp.float32)
+            res = 0.07
+            want = np.asarray(df._minplus_1d(g, res))
+            got = np.asarray(pallas_minplus.minplus_1d(g, res,
+                                                       interpret=True))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_hbm_budget_guard_rejects_oversized_fields(self):
         # 2000^3 f32 = 32 GB storage: must be refused on a 16 GB budget
         # even though lut_max_dim=2048 admits the dimensions.
