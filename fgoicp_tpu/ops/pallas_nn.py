@@ -62,6 +62,30 @@ def _kernel(n_t_tiles):
     return kernel
 
 
+def _kernel_min(n_t_tiles):
+    """Min-distance-only variant: bound evaluation needs d2 but not the
+    winner's identity, and the per-tile argmin bookkeeping (iota +
+    compare/select reductions) measurably dominates the plain min —
+    skipping it nearly doubles query throughput (BASELINE.md round 3)."""
+    def kernel(q_ref, tgt_ref, d2_ref):
+        qx = q_ref[0, 0:1, :]
+        qy = q_ref[0, 1:2, :]
+        qz = q_ref[0, 2:3, :]
+
+        def body(t, m):
+            c = tgt_ref[pl.ds(t * TT, TT), :]                 # [TT, 3]
+            dx = c[:, 0:1] - qx
+            dy = c[:, 1:2] - qy
+            dz = c[:, 2:3] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            return jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
+
+        m0 = jnp.full((1, QT), BIG, jnp.float32)
+        d2_ref[0] = jax.lax.fori_loop(0, n_t_tiles, body, m0)
+
+    return kernel
+
+
 def _pad_axis(a, axis, size, value=0.0):
     pad = (-a.shape[axis]) % size
     if pad == 0:
@@ -114,3 +138,35 @@ def nn_argmin(queries, points, interpret: bool = False):
     # Clamp padding-target indices (can only appear if points is empty-ish).
     idx = jnp.minimum(idx, points.shape[0] - 1)
     return d2, idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_min(queries, points, interpret: bool = False):
+    """d2 [M] of the nearest point for each query (no argmin — see
+    _kernel_min)."""
+    queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
+    points = jnp.asarray(points, jnp.float32)
+    m = queries.shape[0]
+
+    q_t = _pad_axis(jnp.swapaxes(queries, 0, 1), 1, QT)       # [3, Mp]
+    mp = q_t.shape[1]
+    m_tiles = mp // QT
+    q_t = q_t.reshape(3, m_tiles, QT).swapaxes(0, 1)          # [mt, 3, QT]
+    tgt_p = _pad_axis(points, 0, TT, value=1e6)               # [Tp, 3]
+    n_t_tiles = tgt_p.shape[0] // TT
+
+    d2 = pl.pallas_call(
+        _kernel_min(n_t_tiles),
+        grid=(m_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3, QT), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tgt_p.shape[0], 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, QT), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_tiles, 1, QT), jnp.float32),
+        interpret=interpret,
+    )(q_t, tgt_p)
+    return d2.reshape(mp)[:m]
