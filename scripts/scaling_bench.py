@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                    help="pool lanes per shard")
     p.add_argument("--proxy", type=int, default=4096, help="proxy points")
     p.add_argument("--max-steps", type=int, default=400)
+    p.add_argument("--device-outer", action="store_true",
+                   help="scale the WHOLE nested BnB (so3_bnb_device_"
+                        "sharded, cube-axis sliced child evaluation) "
+                        "instead of the inner pooled search")
     args = p.parse_args(argv)
 
     import jax
@@ -73,13 +77,35 @@ def main(argv=None) -> int:
     for n in counts:
         mesh = psh.make_mesh(n, 1, devices=devices[:n])
 
-        def run():
-            st = pbnb.bnb_r3_pooled_sharded(
-                backend, pcs, R, spans, fix, jnp.float32(1e9),
-                jnp.float32(1e-3), mesh=mesh, lanes=args.lanes,
-                capacity=args.lanes * 16, max_steps=args.max_steps)
-            jax.block_until_ready(st)
-            return int(np.asarray(st.evaluated).sum())
+        if args.device_outer:
+            # Whole nested BnB, SO(3) frontier replicated, child
+            # evaluation + ICP lanes sliced over the cubes axis
+            # (ops/so3_frontier.py module doc).  Each shard pops
+            # rotation_batch cubes per step, so the n-device run
+            # explores an (n x rotation_batch)-wide outer octree.
+            # Coarse span cutoffs bound the tree (the un-pruned 1e9
+            # incumbent would otherwise let every inner pool subdivide
+            # to the default production depth — hours on a CPU host).
+            def run():
+                st = pbnb.so3_bnb_device_sharded(
+                    backend, pct, pcs, pcs, jnp.float32(1e9),
+                    jnp.eye(3, dtype=jnp.float32),
+                    jnp.zeros(3, jnp.float32), jnp.float32(1e-3),
+                    mesh=mesh, rotation_batch=max(2, g // (8 * n)),
+                    capacity=8192, max_outer=args.max_steps // 10 or 1,
+                    rotation_min_span=0.2, translation_min_span=0.25,
+                    pool_lanes=args.lanes, pool_capacity=args.lanes * 16,
+                    icp_width=8, icp_max_iter=10)
+                jax.block_until_ready(st)
+                return int(np.asarray(st.inner_nodes))
+        else:
+            def run():
+                st = pbnb.bnb_r3_pooled_sharded(
+                    backend, pcs, R, spans, fix, jnp.float32(1e9),
+                    jnp.float32(1e-3), mesh=mesh, lanes=args.lanes,
+                    capacity=args.lanes * 16, max_steps=args.max_steps)
+                jax.block_until_ready(st)
+                return int(np.asarray(st.evaluated).sum())
 
         run()                      # compile + first-call load
         t0 = time.time()
