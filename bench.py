@@ -248,10 +248,11 @@ def bench_bunny(lines):
     # the reference's shipped bunny config runs its distance LUT at
     # resolution 0.002 over the normalized target — a ~10^9-cell grid
     # (/root/reference/test/bunny.toml:18, registration.cu:186-198).
-    # f32 storage (2.7 GB) + the chunked EDT builder keep the build
-    # inside v5e HBM; the asymmetric conservative slack (builder +
-    # interpolation) keeps the certificate valid.  Construction time
-    # (= field build) is logged separately above.
+    # bfloat16 storage (1.35 GB; default — the relative quantization
+    # slack costs +8 nodes and the halved gather bytes win 12% over
+    # f32) + the chunked EDT builder keep the build inside v5e HBM; the
+    # asymmetric conservative slack keeps the certificate valid.
+    # Construction time (= field build) is logged separately above.
     if os.environ.get("FGOICP_BENCH_NO_LUT") != "1":
         lines.append(_run_workload(
             "bunny_lut_res0.002", pct, pcs, CPU_CLASS_SECONDS,

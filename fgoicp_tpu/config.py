@@ -150,7 +150,12 @@ class EngineConfig:
     # (point norm, half-angle clamped to pi/2).
     ref_compat_gamma: bool = False
     # Distance field.
-    lut_dtype: str = "float32"      # float32 | bfloat16 | float16
+    # bfloat16 default: storage quantization folds into the certificate
+    # as a RELATIVE per-lookup slack (+8 nodes of 17k on the production
+    # bunny field), halves the field's HBM residency, and the halved
+    # gather bytes measured 12% faster end-to-end than float32 (1.24 s
+    # vs 1.42 s at the reference's res-0.002 operating point).
+    lut_dtype: str = "bfloat16"     # float32 | bfloat16 | float16
     lut_builder: str = "auto"       # auto | brute | edt
     # LUT query form: "nearest" = 1 gather/query, "trilinear" = 8 (the
     # reference's texture filtering).  The 1-Lipschitz worst-case error
