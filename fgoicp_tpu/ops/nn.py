@@ -109,12 +109,18 @@ def _q_chunked(fn, queries, q_chunk):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk", "rank_precision"))
+@functools.partial(jax.jit, static_argnames=("t_chunk", "q_chunk",
+                                              "rank_precision", "force_xla"))
 def nearest_sqdist(queries, pct, t_chunk=_T_CHUNK, q_chunk=_Q_CHUNK,
-                   rank_precision="highest"):
-    """Min squared distance from each query [M, 3] to the target cloud."""
+                   rank_precision="highest", force_xla: bool = False):
+    """Min squared distance from each query [M, 3] to the target cloud.
+
+    force_xla=True pins the chunked XLA path regardless of backend — the
+    independent reference for the real-device kernel gate
+    (scripts/kernel_check.py); a distinct static arg keeps its cache
+    entries separate from the production Pallas path."""
     queries = jnp.asarray(queries, jnp.float32).reshape(-1, 3)
-    if use_pallas():
+    if use_pallas() and not force_xla:
         # Min-only kernel: skipping the argmin bookkeeping nearly
         # doubles throughput (pallas_nn._kernel_min).
         return pallas_nn.nn_min(

@@ -77,6 +77,30 @@ def run_check():
         failures += (not ok)
         lines.append(f"ns={k}: |lb diff|={dl:.6f} |ub diff|={du:.6f} "
                      f"rel={rel:.2e} {'OK' if ok else 'MISMATCH'}")
+
+    # NN kernels vs the pure chunked-XLA reference (nearest_sqdist
+    # routes through pallas_nn.nn_min on TPU since round 3, so the lane
+    # check above compares two INDEPENDENT Mosaic kernels; this section
+    # anchors both against force_xla=True).
+    from fgoicp_tpu.ops import nn as nn_ops
+    from fgoicp_tpu.ops import pallas_nn
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, size=(8192, 3)), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    d_ref = nn_ops.nearest_sqdist(q, backend.coreset.points,
+                                  force_xla=True)
+    d_min = pallas_nn.nn_min(q, backend.coreset.points, interpret=interp)
+    d_arg, idx = pallas_nn.nn_argmin(q, backend.coreset.points,
+                                     interpret=interp)
+    # The argmin winner re-scored exactly must reproduce its d2.
+    d_idx = jnp.sum((q - backend.coreset.points[idx]) ** 2, axis=-1)
+    for name, d in (("nn_min", d_min), ("nn_argmin", d_arg),
+                    ("argmin winner rescore", d_idx)):
+        diff = float(jnp.max(jnp.abs(d - d_ref)))
+        rel = diff / max(float(jnp.max(d_ref)), 1e-9)
+        ok = rel < 1e-4
+        failures += (not ok)
+        lines.append(f"{name}: |d2 diff|={diff:.6f} rel={rel:.2e} "
+                     f"{'OK' if ok else 'MISMATCH'}")
     return failures == 0, lines
 
 
