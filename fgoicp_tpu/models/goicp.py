@@ -204,6 +204,13 @@ class GoICP:
         # (fgoicp.hpp:32-43, fgoicp.cpp:85-87).
         self.history = []
         self._t_start = None
+        # Certificate observability: the optimality gap the finished run
+        # actually certifies (incumbent minus the lowest unexplored lower
+        # bound), set by every outer-loop exit path.  <= sse_threshold
+        # means certified optimal; None until a search ran.  Exists so
+        # callers/tests can assert certification without reaching into
+        # mode-specific state (the host heap is cleared in device mode).
+        self.last_certified_gap = None
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
@@ -700,6 +707,7 @@ class GoICP:
         self.seed_heap()
         while self._heap and not self.outer_converged():
             self.outer_step()
+        self.last_certified_gap = float(self.best_sse - self.heap_min_lb())
         return self.best_sse
 
     # SO3State counter field -> GoICPStats field (device outer mode).
@@ -880,6 +888,7 @@ class GoICP:
         floor = min(float(st.lbs[0]), float(st.dropped_lb))
         gap = -float(so3_ops.BIG) if floor >= float(so3_ops.INVALID) \
             else float(st.best_sse) - floor
+        self.last_certified_gap = gap
         if gap > self.sse_threshold:
             log.warning(
                 f"Device SO(3) search ended with an open certificate "
@@ -889,6 +898,8 @@ class GoICP:
             self.seed_heap()
             while self._heap and not self.outer_converged():
                 self.outer_step()
+            self.last_certified_gap = float(
+                self.best_sse - self.heap_min_lb())
         return self.best_sse
 
     # ------------------------------------------------------------------

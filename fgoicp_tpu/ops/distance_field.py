@@ -119,6 +119,14 @@ def grid_dims(bounds, resolution, max_dim=2048, warn_dim=1024,
         raise ValueError(
             f"Distance-field dims {dims} exceed the limit {max_dim}; "
             f"increase lut_resolution")
+    # Flat gather indices (lookup/_trilinear) are int32: a field beyond
+    # 2^31 cells would WRAP and silently return wrong distances — with
+    # bf16 storage such a field can pass both the dimension cap and a
+    # large-device HBM budget, so refuse it explicitly.
+    if int(np.prod(dims)) >= 2 ** 31:
+        raise ValueError(
+            f"Distance-field dims {dims} exceed 2^31 cells (int32 gather "
+            f"index range); use a coarser lut_resolution")
     if any(d >= warn_dim for d in dims):
         log.warning(f"Distance-field dims {dims} are large; consider a "
                     "coarser lut_resolution")
@@ -164,6 +172,20 @@ def check_memory_budget(dims, dtype, builder: str,
             f"lut_resolution or a narrower lut_dtype (bfloat16 halves "
             f"storage)")
     return peak
+
+
+def _nearest_node_idx(points, origin, inv_res, dims):
+    """Clipped nearest-grid-node index [..., 3] for world points.
+
+    Shared by the EDT seeding and lookup_nearest: the certificate's
+    assign_delta bracket assumes both snap points to nodes IDENTICALLY,
+    so the rounding/clamping lives in exactly one place.
+    """
+    x, y, z = dims
+    c = (jnp.asarray(points, jnp.float32) - origin) * inv_res
+    return jnp.clip(jnp.round(c).astype(jnp.int32),
+                    jnp.zeros(3, jnp.int32),
+                    jnp.asarray([x - 1, y - 1, z - 1], jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -256,10 +278,7 @@ def _build_edt(points, origin, resolution, dims, out_chunk=128):
     x, y, z = dims
     # Seed: each point updates its nearest grid node with its exact squared
     # distance to that node (scatter-min).
-    rel = (points - origin[None, :]) / resolution
-    idx = jnp.clip(jnp.round(rel).astype(jnp.int32),
-                   jnp.zeros(3, jnp.int32),
-                   jnp.asarray([x - 1, y - 1, z - 1], jnp.int32))
+    idx = _nearest_node_idx(points, origin[None, :], 1.0 / resolution, dims)
     node = origin[None, :] + idx.astype(jnp.float32) * resolution
     d2 = jnp.sum((points - node) ** 2, axis=-1)
     f = jnp.full((x, y, z), BIG, jnp.float32)
@@ -281,14 +300,15 @@ def build(points, bounds, resolution, builder: str = "auto",
           hbm_budget: Optional[int] = None) -> DistanceField:
     """Construct the distance field over `bounds` ([3, 2] min/max).
 
-    builder: 'brute' (exact, zero slack), 'edt' (fast, slack =
+    builder: 'brute' (exact, zero slack), 'edt' (fast, node error <=
     sqrt(3/2) * res), 'auto' (brute iff cells * n_points fits the
     budget), or 'ref' (reference-compat d^2 field, module doc — read it
     only through lookup_ref_compat).
 
-    Narrow storage dtypes fold their quantization error into `slack`
-    (relative rounding x max stored value), so conservative bounds stay
-    valid for bfloat16/float16 fields too.
+    Narrow storage dtypes record their RELATIVE rounding bound in
+    `quant_eps` (NOT folded into any absolute slack): consumers must
+    apply it multiplicatively per lookup (bounds.distance_estimates
+    does) — the `slack` property covers the builder error only.
     """
     points = jnp.asarray(points, jnp.float32)
     bounds = np.asarray(bounds, np.float64)
@@ -391,12 +411,9 @@ def lookup_nearest(field: DistanceField, queries):
     certificate-equivalent single-gather form is ~8x less random
     traffic.  Out-of-box queries clamp like `lookup`.
     """
-    q = jnp.asarray(queries, jnp.float32)
     x, y, z = field.values.shape
-    c = (q - field.origin) * field.inv_res
-    idx = jnp.clip(jnp.round(c).astype(jnp.int32),
-                   jnp.zeros(3, jnp.int32),
-                   jnp.asarray([x - 1, y - 1, z - 1], jnp.int32))
+    idx = _nearest_node_idx(queries, field.origin, field.inv_res,
+                            field.values.shape)
     lin = (idx[..., 0] * y + idx[..., 1]) * z + idx[..., 2]
     return jnp.take(field.values.reshape(-1), lin,
                     mode="clip").astype(jnp.float32)

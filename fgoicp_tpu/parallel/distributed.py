@@ -252,6 +252,8 @@ class MultiHostGoICP(GoICP):
             self.best_translation = np.asarray(gathered[k, 12:15], np.float32)
             self._record_improvement()
         global_min_lb = float(np.min(gathered[:, 1]))
+        # The gap the wire proves: identical on every host.
+        self.last_certified_gap = gmin - global_min_lb
         converged = gmin - global_min_lb <= self.sse_threshold
         if not converged:
             self._maybe_steal(gathered)
@@ -353,6 +355,7 @@ class MultiHostGoICP(GoICP):
                                   np.float32),
                 best_t=np.asarray(gathered[k, 12:15], np.float32))
         global_min_lb = float(np.min(gathered[:, 1]))
+        self.last_certified_gap = gmin - global_min_lb
         if gmin - global_min_lb <= self.sse_threshold:
             return "converged", st
         if bool(np.all(gathered[:, 2] > 0.5)):

@@ -50,11 +50,16 @@ def main():
     from fgoicp_tpu.ops import pallas_minplus
 
     rng = np.random.default_rng(0)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        print("non-TPU backend: Pallas runs in interpret mode "
+              "(functional check only; timings are meaningless)")
 
     # Equality on the real device.
     g_small = jnp.asarray(rng.uniform(0, 4.0, (2048, 1000)), jnp.float32)
     res = 0.002
-    got = np.asarray(pallas_minplus.minplus_1d(g_small, res))
+    got = np.asarray(pallas_minplus.minplus_1d(g_small, res,
+                                               interpret=interp))
     j = np.arange(1000, dtype=np.float64)
     ref = np.min(np.asarray(g_small, np.float64)[:, :, None]
                  + ((j[None, :, None] - j[None, None, :]) * res) ** 2,
@@ -67,7 +72,8 @@ def main():
     L, n = 262144, 1024
     g = jnp.asarray(rng.uniform(0, 4.0, (L, n)), jnp.float32)
     ops = 2 * L * n * n
-    w_p, _ = timeit(lambda: pallas_minplus.minplus_1d(g, res))
+    w_p, _ = timeit(lambda: pallas_minplus.minplus_1d(g, res,
+                                                      interpret=interp))
     w_x, _ = timeit(lambda: df._minplus_1d(g, res))
     print(f"[{L} x {n}] pallas: {w_p*1e3:.0f} ms ({ops/w_p/1e12:.2f} Top/s)"
           f"   xla: {w_x*1e3:.0f} ms ({ops/w_x/1e12:.2f} Top/s)")

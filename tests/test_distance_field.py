@@ -58,6 +58,14 @@ class TestBuilders:
         with pytest.raises(ValueError, match="exceed the limit"):
             df.grid_dims(bounds, 1e-5)
 
+    def test_int32_gather_range_guard(self):
+        # 1301^3 ~ 2.2e9 cells passes the per-dimension cap (< 2048) and
+        # a large HBM budget at bf16, but the flat gather index would
+        # wrap int32 — must be refused outright.
+        bounds = np.array([[0, 1.3], [0, 1.3], [0, 1.3]], np.float64)
+        with pytest.raises(ValueError, match="2\\^31"):
+            df.grid_dims(bounds, 1e-3)
+
 
 class TestChunkingAndBudget:
     def test_minplus_line_chunking_is_exact(self):
