@@ -804,13 +804,24 @@ class GoICP:
         elapsed = (0.0 if self._t_start is None
                    else _time.time() - self._t_start)
         n_hist = int(st.hist_len)
+        ring_cap = st.hist_sse.shape[0]
+        if hist_seen >= ring_cap:
+            # Resumed from a checkpoint whose ring was already saturated:
+            # hist_len stays pinned at capacity while post-resume
+            # improvements keep overwriting the LAST slot, so treat that
+            # slot as unseen — otherwise every post-resume improvement
+            # vanishes from model.history.
+            hist_seen = ring_cap - 1
         for j in range(hist_seen, n_hist):
+            if (self.history
+                    and float(st.hist_sse[j]) >= self.history[-1][1]):
+                continue  # saturated last slot unchanged since resume
             self.history.append(
                 (elapsed, float(st.hist_sse[j]),
                  np.asarray(st.hist_R[j]), np.asarray(st.hist_t[j])))
-        if n_hist == st.hist_sse.shape[0]:
+        if n_hist == ring_cap:
             log.debug("device history ring saturated; intermediate "
-                      "improvements beyond capacity were overwritten")
+                      "improvements were overwritten into the last slot")
         if float(st.best_sse) < self.best_sse:
             self.best_sse = float(st.best_sse)
             self.best_rotation = np.asarray(st.best_R)
@@ -850,6 +861,14 @@ class GoICP:
         last = {f: (0 if st0 is None else int(getattr(st0, f)))
                 for f in self._DEVICE_COUNTERS}
         hist_seen = 0 if st0 is None else int(st0.hist_len)
+        # The step valve is RELATIVE to the resume point: outer_steps is
+        # also the observability counter, and elastic recovery SUMS the
+        # per-host counters when merging crash checkpoints
+        # (so3_frontier.merge_states) — an absolute valve would then
+        # start (partially or fully) exhausted and silently skip the
+        # device search the merged frontier exists for.
+        valve = ((0 if st0 is None else int(st0.outer_steps))
+                 + self._DEVICE_MAX_OUTER)
 
         chunk = (e.checkpoint_every
                  if (e.checkpoint_path and e.checkpoint_every > 0) else 0)
@@ -859,18 +878,17 @@ class GoICP:
         # runs on host numpy.  Reading the fields eagerly is ~20 blocking
         # tunnel roundtrips (~25 ms each) per retrieval.
         if chunk <= 0:
-            st = jax.device_get(call(st0, self._DEVICE_MAX_OUTER))
+            st = jax.device_get(call(st0, valve))
         else:
             st = st0
             while True:
                 start = 0 if st is None else int(st.outer_steps)
-                cap = min(start + chunk, self._DEVICE_MAX_OUTER)
+                cap = min(start + chunk, valve)
                 st = jax.device_get(call(st, cap))
                 self._sanitize_device_state(st)
                 self._flush_device_counters(st, last)  # updates `last`
                 self._save_device_checkpoint(st)
-                if int(st.outer_steps) < cap or \
-                        cap >= self._DEVICE_MAX_OUTER:
+                if int(st.outer_steps) < cap or cap >= valve:
                     break   # gap closed / frontier empty / safety valve
             # Counters already flushed chunk-by-chunk; mark them done.
             last = None

@@ -177,9 +177,11 @@ def merge_states(states) -> SO3State:
     incumbent re-covers the entire not-yet-pruned region.  Rows past
     the shared capacity spill into the dropped_lb certificate clamp
     (same rule as the device loop's own overflow).  Counters sum (the
-    merged state carries the work all hosts did); the improvement ring
-    of the incumbent-owning state is kept (rings are per-host
-    observability, not search state).
+    merged state carries the work all hosts did) — consumers of
+    outer_steps as a step BUDGET must therefore anchor their valve
+    relative to the resumed value (models/goicp.py does), never as an
+    absolute cap.  The improvement ring of the incumbent-owning state
+    is kept (rings are per-host observability, not search state).
     """
     import numpy as _np
     cap = states[0].lbs.shape[0]

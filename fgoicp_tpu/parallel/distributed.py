@@ -8,8 +8,12 @@ the full nested BnB on its partition with its local device mesh, and a
 small fixed-size incumbent message is all-gathered every outer step so
 every host prunes against the global best.
 
-Protocol (one message per host per round, 17 floats):
-    [best_sse, local_min_lb, idle_flag, R(9), t(3), heap_len, steal_max]
+Protocol (one message per host per round, 18 floats):
+    [best_sse, local_min_lb, idle_flag, R(9), t(3), heap_len, steal_max,
+     valve_bound]
+(valve_bound marks a device-mode host idled by the outer-step safety
+valve — it votes idle for termination but CANNOT absorb stolen work,
+so the steal plan skips it; always 0 in host mode)
 Each sync round every host adopts the global-min incumbent, then runs up
 to `engine.multihost_sync_every` outer steps (staleness bound: the
 incumbent a host prunes against is at most that many outer steps old —
@@ -41,7 +45,7 @@ host heap between sync rounds; `outer_mode="device"` runs each host's
 partition as multihost_sync_every-step CHUNKS of the on-device nested
 BnB (ops/so3_frontier.py — the partition cells seed the device frontier
 via initial_state, max_outer is traced so all chunks share one
-executable), with the same 17-float sync protocol between chunks and
+executable), with the same 18-float sync protocol between chunks and
 work stealing implemented as host-side surgery on the lb-sorted
 SO3State rows.  A device search that stalls with an open certificate
 (capacity drops / the step valve) falls back to the partitioned host
@@ -62,13 +66,17 @@ from ..config import EngineConfig
 from ..models.goicp import BIG, GoICP
 from ..utils import logging as log
 
-_MSG_LEN = 17
+_MSG_LEN = 18
 
 _TIMEOUT_HINT = (
     "multi-host allgather timed out — a peer process is likely dead or "
-    "hung.  The collective cannot recover in place; restart the job from "
-    "the latest checkpoint (engine.checkpoint_path / --resume) with the "
-    "surviving hosts.")
+    "hung (or still compiling a long chunk: raise "
+    "engine.multihost_timeout_s above the worst-case chunk wall).  The "
+    "collective cannot recover in place — the timed-out worker thread "
+    "stays blocked inside it, so this error is terminal for the process; "
+    "restart the job from the latest checkpoint (engine.checkpoint_path "
+    "/ --resume, or GoICP.load_checkpoints for elastic recovery) with "
+    "the surviving hosts.")
 
 
 def split_f64_to_f32_pairs(vec: np.ndarray) -> np.ndarray:
@@ -210,6 +218,9 @@ class MultiHostGoICP(GoICP):
         self.idle_rounds = 0
         self.donated_nodes = 0
         self.stolen_nodes = 0
+        # Device-mode step valve; re-anchored relative to the resumed
+        # state's counter at driver start (_bnb_so3_device_multihost).
+        self._device_valve = self._DEVICE_MAX_OUTER
 
     def root_nodes(self):
         return partition_root(self.comm.rank, self.comm.size)
@@ -217,6 +228,17 @@ class MultiHostGoICP(GoICP):
     def _locally_idle(self) -> bool:
         """True when this host would not run an outer step this round."""
         return not self._heap or self.outer_converged()
+
+    def _round_timeout(self):
+        """Dead-peer timeout for the next incumbent gather.  The first
+        two rounds absorb one-time costs a liveness timeout must not
+        trip on — process-cold executable load (~18-22 s through the
+        tunnel) before round 1 and the first device-chunk compile
+        (potentially minutes cold) before round 2 — so they get 10x."""
+        if self._timeout is None:
+            return None
+        return self._timeout * 10.0 if self.sync_rounds < 2 \
+            else self._timeout
 
     def _message(self) -> np.ndarray:
         msg = np.empty((_MSG_LEN,), np.float64)
@@ -231,6 +253,7 @@ class MultiHostGoICP(GoICP):
         # engine configs must still agree on whether/how to enter the
         # second collective, or they deadlock.
         msg[16] = float(max(0, self.engine.multihost_steal_max))
+        msg[17] = 0.0   # host mode has no step valve
         return msg
 
     def _sync_round(self) -> bool:
@@ -241,7 +264,7 @@ class MultiHostGoICP(GoICP):
         identical on all hosts — so no host can exit the loop while
         another re-enters the collective (that divergence deadlocks)."""
         gathered = self.comm.allgather(self._message(),
-                                       timeout=self._timeout)
+                                       timeout=self._round_timeout())
         self.sync_rounds += 1
         k = int(np.argmin(gathered[:, 0]))
         gmin = float(gathered[k, 0])
@@ -264,17 +287,14 @@ class MultiHostGoICP(GoICP):
 
         Donor/recipient selection, the decision to run the payload
         collective, AND the payload length are derived from the shared
-        matrix (steal_max rides the wire, min across hosts), so either
-        every host enters the second all-gather with identical shapes or
-        none does.  Donated nodes are popped from the donor (each node
-        lives in exactly one heap)."""
-        steal_max = int(np.min(gathered[:, 16]))
-        idle = gathered[:, 2] > 0.5
-        sizes = gathered[:, 15]
-        n_idle = int(np.sum(idle))
-        donor = int(np.argmax(np.where(~idle, sizes, -1.0)))
-        if steal_max == 0 or n_idle == 0 or idle[donor] or sizes[donor] < 2:
+        matrix (_steal_plan), so either every host enters the second
+        all-gather with identical shapes or none does.  Donated nodes
+        are popped from the donor (each node lives in exactly one
+        heap)."""
+        plan = self._steal_plan(gathered)
+        if plan is None:
             return
+        steal_max, donor, absorbing, n_abs = plan
         payload = np.zeros((1 + 6 * steal_max,), np.float64)
         if self.comm.rank == donor:
             n_give = min(steal_max, len(self._heap) - 1)
@@ -287,10 +307,11 @@ class MultiHostGoICP(GoICP):
             self.donated_nodes += n_give
         row = self.comm.allgather(payload, timeout=self._timeout)[donor]
         cnt = int(row[0])
-        if idle[self.comm.rank] and cnt > 0:
-            my_idx = int(np.flatnonzero(idle).tolist().index(self.comm.rank))
+        if absorbing[self.comm.rank] and cnt > 0:
+            my_idx = int(np.flatnonzero(absorbing).tolist()
+                         .index(self.comm.rank))
             for i in range(cnt):
-                if i % n_idle != my_idx:
+                if i % n_abs != my_idx:
                     continue
                 lb, x, y, z, span, ub = row[1 + 6 * i:7 + 6 * i]
                 heapq.heappush(
@@ -298,6 +319,28 @@ class MultiHostGoICP(GoICP):
                     (float(lb), next(self._tie),
                      (float(x), float(y), float(z), float(span), float(ub))))
                 self.stolen_nodes += 1
+
+    def _steal_plan(self, gathered: np.ndarray):
+        """The SHARED pure-function core of both steal protocols: decide
+        from the gathered matrix alone whether the payload collective
+        runs and who participates.  Both modes MUST use this one
+        function — a divergence between the two copies of this decision
+        is exactly the class of collective deadlock the module doc warns
+        about.  Returns (steal_max, donor, absorbing_mask, n_absorbing)
+        or None.  `absorbing` excludes hosts idled by the device-mode
+        step valve (msg[17]): they vote idle for termination but cannot
+        expand donated work — parking live subtrees there would both
+        starve the donor and strand the nodes until the stalled
+        fallback."""
+        steal_max = int(np.min(gathered[:, 16]))
+        idle = gathered[:, 2] > 0.5
+        absorbing = idle & ~(gathered[:, 17] > 0.5)
+        sizes = gathered[:, 15]
+        n_abs = int(np.sum(absorbing))
+        donor = int(np.argmax(np.where(~idle, sizes, -1.0)))
+        if steal_max == 0 or n_abs == 0 or idle[donor] or sizes[donor] < 2:
+            return None
+        return steal_max, donor, absorbing, n_abs
 
     # ----- device outer mode: chunked device calls + sync rounds -----
     #
@@ -313,18 +356,22 @@ class MultiHostGoICP(GoICP):
     # against is at most sync_every outer steps old.
 
     def _device_floor_idle(self, st):
-        """(certificate_floor, reachable_floor, idle) for the wire."""
+        """(certificate_floor, reachable_floor, idle, valve_bound) for
+        the wire.  valve_bound = idled by the outer-step safety valve:
+        such a host votes idle (termination must still fire) but cannot
+        EXPAND anything, so the steal plan must not donate to it."""
         from ..ops import so3_frontier as so3
         reach = float(np.asarray(st.lbs)[0])
         cert = min(reach, float(st.dropped_lb))
+        valve_bound = int(st.outer_steps) >= self._device_valve
         idle = (reach >= float(so3.INVALID)
                 or float(st.best_sse) - reach <= self.sse_threshold
-                or int(st.outer_steps) >= self._DEVICE_MAX_OUTER)
-        return cert, reach, idle
+                or valve_bound)
+        return cert, reach, idle, valve_bound
 
     def _message_device(self, st) -> np.ndarray:
         from ..ops import so3_frontier as so3
-        cert, _, idle = self._device_floor_idle(st)
+        cert, _, idle, valve_bound = self._device_floor_idle(st)
         msg = np.empty((_MSG_LEN,), np.float64)
         msg[0] = float(st.best_sse)
         msg[1] = cert
@@ -333,6 +380,7 @@ class MultiHostGoICP(GoICP):
         msg[12:15] = np.asarray(st.best_t, np.float64)
         msg[15] = float(np.sum(np.asarray(st.lbs) < float(so3.INVALID)))
         msg[16] = float(max(0, self.engine.multihost_steal_max))
+        msg[17] = 1.0 if valve_bound else 0.0
         return msg
 
     def _sync_round_device(self, st):
@@ -344,7 +392,7 @@ class MultiHostGoICP(GoICP):
         drops / the step valve; the caller falls back to the host loop
         on all ranks together)."""
         gathered = self.comm.allgather(self._message_device(st),
-                                       timeout=self._timeout)
+                                       timeout=self._round_timeout())
         self.sync_rounds += 1
         k = int(np.argmin(gathered[:, 0]))
         gmin = float(gathered[k, 0])
@@ -365,15 +413,13 @@ class MultiHostGoICP(GoICP):
 
     def _maybe_steal_device(self, gathered: np.ndarray, st):
         """Host-mode _maybe_steal, operating on lb-sorted SO3State rows
-        instead of a heap.  Same pure-function collective contract."""
+        instead of a heap.  The steal decision itself comes from the
+        SHARED _steal_plan (same pure-function collective contract)."""
         from ..ops import so3_frontier as so3
-        steal_max = int(np.min(gathered[:, 16]))
-        idle = gathered[:, 2] > 0.5
-        sizes = gathered[:, 15]
-        n_idle = int(np.sum(idle))
-        donor = int(np.argmax(np.where(~idle, sizes, -1.0)))
-        if steal_max == 0 or n_idle == 0 or idle[donor] or sizes[donor] < 2:
+        plan = self._steal_plan(gathered)
+        if plan is None:
             return st
+        steal_max, donor, absorbing, n_abs = plan
         payload = np.zeros((1 + 6 * steal_max,), np.float64)
         if self.comm.rank == donor:
             lbs = np.asarray(st.lbs).copy()
@@ -397,10 +443,11 @@ class MultiHostGoICP(GoICP):
             self.donated_nodes += n_give
         row = self.comm.allgather(payload, timeout=self._timeout)[donor]
         cnt = int(row[0])
-        if idle[self.comm.rank] and cnt > 0:
-            my_idx = int(np.flatnonzero(idle).tolist().index(self.comm.rank))
+        if absorbing[self.comm.rank] and cnt > 0:
+            my_idx = int(np.flatnonzero(absorbing).tolist()
+                         .index(self.comm.rank))
             take = [row[1 + 6 * i:7 + 6 * i]
-                    for i in range(cnt) if i % n_idle == my_idx]
+                    for i in range(cnt) if i % n_abs == my_idx]
             if take:
                 lbs = np.concatenate(
                     [np.asarray(st.lbs),
@@ -446,26 +493,36 @@ class MultiHostGoICP(GoICP):
                 cells=self.root_nodes())
         last = {f: int(getattr(st, f)) for f in self._DEVICE_COUNTERS}
         hist_seen = int(st.hist_len)
+        # Relative step valve (goicp._bnb_so3_device rationale): elastic
+        # recovery SUMS outer_steps when merging crash checkpoints, so an
+        # absolute cap could start exhausted and idle the host forever.
+        self._device_valve = int(st.outer_steps) + self._DEVICE_MAX_OUTER
+        last_ckpt_steps = int(st.outer_steps)
         sync_every = max(1, e.multihost_sync_every)
         status = "run"
         while True:
             status, st = self._sync_round_device(st)
             if status != "run":
                 break
-            _, _, idle = self._device_floor_idle(st)
+            _, _, idle, _ = self._device_floor_idle(st)
             if idle:
                 self.idle_rounds += 1
                 continue
-            cap = min(int(st.outer_steps) + sync_every,
-                      self._DEVICE_MAX_OUTER)
+            cap = min(int(st.outer_steps) + sync_every, self._device_valve)
             # ONE fetch per chunk: the sync/steal protocol reads ~20
             # state fields host-side, each its own blocking tunnel
             # roundtrip on a device pytree (goicp._bnb_so3_device doc).
             st = jax.device_get(call(st, cap))
             self._sanitize_device_state(st)
             self._flush_device_counters(st, last)
-            if e.checkpoint_path and e.checkpoint_every > 0:
+            # Honor the configured cadence ('outer steps between
+            # checkpoints') — one .npz per sync round at sync_every=1
+            # would be 100x the configured IO at checkpoint_every=100.
+            if e.checkpoint_path and e.checkpoint_every > 0 and \
+                    int(st.outer_steps) - last_ckpt_steps >= \
+                    e.checkpoint_every:
                 self._save_device_checkpoint(st)
+                last_ckpt_steps = int(st.outer_steps)
         self._device_adopt(st, hist_seen, last)
         log.debug(f"[host {self.comm.rank}] device BnB {status}: "
                   f"{self.sync_rounds} sync rounds, {self.idle_rounds} "

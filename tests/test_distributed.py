@@ -127,9 +127,10 @@ def test_work_stealing_transfers_nodes():
         heapq.heappush(models[0]._heap,
                        (lb, i, (0.1 * i, 0.0, 0.0, 0.25, lb + 1.0)))
     models[1]._heap = []
-    gathered = np.zeros((2, 17), np.float64)
-    gathered[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0, 8.0]
-    gathered[1] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0, 8.0]
+    gathered = np.zeros((2, 18), np.float64)
+    # last two columns: steal_max, valve_bound (0 = can absorb work)
+    gathered[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0, 8.0, 0.0]
+    gathered[1] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0, 8.0, 0.0]
 
     errors = []
 
@@ -153,6 +154,54 @@ def test_work_stealing_transfers_nodes():
     # Recipient got the other four, best-first order preserved by lb.
     got = sorted(e[0] for e in models[1]._heap)
     np.testing.assert_allclose(got, [0.3, 0.5, 0.7, 0.9])
+
+
+def test_steal_plan_skips_valve_bound_hosts():
+    """A device-mode host idled by the outer-step valve votes idle for
+    termination but CANNOT expand donated work — the steal plan must
+    route nodes only to absorbing idle hosts, and must not run the
+    payload collective at all when every idle host is valve-bound."""
+    pct, pcs, _, _ = _problem(seed=2)
+    comm = dist.ThreadCommunicator.create(1)[0]
+    m = dist.MultiHostGoICP(pct, pcs, comm, mse_threshold=5e-4,
+                            engine=std_engine(), bound_backend="exact")
+    # 3 hosts: busy donor, valve-bound idle, absorbing idle.
+    g = np.zeros((3, 18), np.float64)
+    g[0] = [1e3, 0.1, 0.0] + [0.0] * 12 + [5.0, 8.0, 0.0]
+    g[1] = [1e3, 0.2, 1.0] + [0.0] * 12 + [3.0, 8.0, 1.0]  # valve-bound
+    g[2] = [1e3, 1e10, 1.0] + [0.0] * 12 + [0.0, 8.0, 0.0]
+    steal_max, donor, absorbing, n_abs = m._steal_plan(g)
+    assert donor == 0 and n_abs == 1
+    np.testing.assert_array_equal(absorbing, [False, False, True])
+    # Every idle host valve-bound: no steal (None = skip the collective
+    # on ALL hosts — the decision is a pure function of the matrix).
+    g[2, 17] = 1.0
+    assert m._steal_plan(g) is None
+
+
+def test_device_valve_is_relative_to_resume():
+    """Elastic recovery SUMS per-host outer_steps when merging crash
+    checkpoints (so3_frontier.merge_states); a resumed device search
+    whose merged counter already exceeds the absolute valve must still
+    RUN (the valve is 10000 MORE steps, not a lifetime cap)."""
+    from fgoicp_tpu.models.goicp import GoICP
+    from fgoicp_tpu.ops import so3_frontier as so3
+
+    pct, pcs, R_true, t_true = _problem(seed=3)
+    eng = std_engine(outer_mode="device", so3_capacity=2048)
+    m = GoICP(pct, pcs, engine=eng, mse_threshold=5e-4,
+              bound_backend="exact")
+    st = so3.initial_state(eng.so3_capacity, best_sse=1e9)
+    # Simulate a merged two-host checkpoint: counters way past the valve.
+    st = st._replace(outer_steps=np.int32(3 * m._DEVICE_MAX_OUTER))
+    m._resumed_so3_state = st
+    R, t = m.run()
+    # stats carry the post-resume DELTA: >= 1 means the device loop
+    # actually expanded the resumed frontier instead of exiting on an
+    # exhausted absolute valve and re-searching from the host root.
+    assert m.stats.outer_steps >= 1
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=2e-3)
 
 
 def test_allgather_timeout_raises_clean_error():
