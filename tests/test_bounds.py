@@ -141,6 +141,63 @@ class TestBoundValidity:
                      trim_keep=int(len(pcs) * 0.8))
         assert trim[0] <= full[0] and trim[1] <= full[1]
 
+    def test_dropsum_bracket_directions(self):
+        """The bisection drop-sum brackets the exact top-k sum from the
+        sound side (over >= exact >= under) and is tight to f32 ties —
+        including zero terms, ties, -BIG padding sentinels, and n_drop
+        exceeding the positive-entry count."""
+        rng = np.random.default_rng(11)
+        import jax.numpy as jnp
+        for ns, k in [(257, 40), (64, 63), (128, 100)]:
+            x = rng.uniform(0.0, 2.0, size=(5, ns)).astype(np.float32)
+            x[:, ::7] = 0.0                        # zero terms
+            x[:, 1] = x[:, 2]                      # exact tie
+            x[0, 10:] = -1e30                      # padding sentinels
+            xj = jnp.asarray(x)
+            exact = np.sort(np.maximum(x, 0.0), axis=-1)[:, ::-1][:, :k].sum(-1)
+            over = np.asarray(bounds_ops._dropsum_bracket(xj, k, "over"))
+            under = np.asarray(bounds_ops._dropsum_bracket(xj, k, "under"))
+            assert np.all(over >= exact - 1e-4), (over, exact)
+            assert np.all(under <= exact + 1e-4), (under, exact)
+            # Tight: both within a few f32 ulps of the true sum.
+            np.testing.assert_allclose(over, exact, rtol=3e-5, atol=1e-4)
+            np.testing.assert_allclose(under, exact, rtol=3e-5, atol=1e-4)
+
+    def test_trimmed_bracket_matches_exact_reduction(self, problem):
+        """End-to-end: the default (bisection) trimmed bounds bracket the
+        exact top-k reduction — lb_bisect <= lb_exact, ub_bisect >=
+        ub_exact — and coincide with it up to f32 ties."""
+        pct, pcs = problem
+        backend = bounds_ops.make_backend(pct, kind="exact")
+        keep = int(len(pcs) * 0.7)
+        lb_b, ub_b = _eval(backend, pcs, [0.3, 0, 0], 0.1, False,
+                           [0.2, 0, 0], 0.1, trim_keep=keep)
+        # Exact reference: recompute via the exact drop path.
+        import jax.numpy as jnp
+        from fgoicp_tpu.ops import geometry as geo2
+        R = geo2.quat_cube_to_matrix(
+            jnp.asarray([[0.3, 0, 0]], jnp.float32))
+        q = (jnp.einsum("grc,nc->gnr", R, jnp.asarray(pcs, jnp.float32))
+             + jnp.asarray([[0.2, 0, 0]], jnp.float32)[:, None, :])
+        d_ub, d_lb = bounds_ops.distance_estimates(backend, q[:, None])
+        norms = jnp.linalg.norm(jnp.asarray(pcs, jnp.float32), axis=-1)
+        gub, glb = bounds_ops.gamma_arrays(
+            norms, jnp.asarray([0.1], jnp.float32),
+            jnp.asarray([False]))
+        gt = geo2.translation_uncertainty_radius(
+            jnp.asarray([[0.1]], jnp.float32))
+        ub_pt = jnp.square(jnp.maximum(d_ub - gub[:, None, :], 0.0))
+        lb_pt = jnp.square(jnp.maximum(
+            d_lb - glb[:, None, :] - gt[:, :, None], 0.0))
+        ub_e = bounds_ops.reduce_point_terms(ub_pt, None, keep, None)
+        lb_e = bounds_ops.reduce_point_terms(lb_pt, None, keep, None)
+        assert float(lb_b) <= float(lb_e[0, 0]) + 1e-4
+        assert float(ub_b) >= float(ub_e[0, 0]) - 1e-4
+        np.testing.assert_allclose(float(lb_b), float(lb_e[0, 0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(ub_b), float(ub_e[0, 0]),
+                                   rtol=1e-4, atol=1e-4)
+
 
 class TestInnerBnB:
     def test_finds_known_translation(self, problem):
