@@ -227,6 +227,66 @@ def bench_dragon(lines):
         mse_threshold=1e-3, trim_fraction=0.3, check=check))
 
 
+def bench_serving(lines):
+    """Throughput serving mode (models/serving.py): register a batch of
+    32 randomly-transformed skull scans against one target in batched
+    device calls.  The metric is PAIRS PER SECOND (steady state); the
+    reference's unit of work is one pair per process run, so vs_baseline
+    compares against the same pinned 30 s CPU-class per-pair wall."""
+    if not os.path.exists(SKULL):
+        _log("skull data missing; serving bench skipped")
+        return
+    from fgoicp_tpu.io import load_cloud
+    from fgoicp_tpu.models import serving
+
+    cloud = load_cloud(SKULL, 1.0, seed=0)
+    rng = np.random.default_rng(11)
+    ti = rng.choice(len(cloud), size=6000, replace=False)
+    pct = cloud[ti]
+    span = float(np.ptp(cloud, axis=0).max())
+    b, ns = 32, 8000
+    sources, Rs, ts = [], [], []
+    for i in range(b):
+        si = rng.choice(len(cloud), size=ns, replace=False)
+        # Uniform random rotation via QR (like the round-3 stress sweep)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        R = (q * np.sign(np.diag(q))[None, :]).astype(np.float32)
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        t = rng.uniform(-0.25, 0.25, size=3).astype(np.float32) * span
+        sources.append((cloud[si] - t) @ R)
+        Rs.append(R)
+        ts.append(t)
+    sources = np.stack(sources)
+
+    srv = serving.RegistrationService(pct, mse_threshold=1e-3)
+    wall = None
+    for i in range(2):
+        t0 = time.time()
+        results = srv.register(sources)
+        wall = time.time() - t0
+        tag = "cold" if i == 0 else "steady"
+        n_cert = sum(r.certified for r in results)
+        n_fb = sum(r.fallback_used for r in results)
+        _log(f"serving {tag}: {wall:.3f}s for {b} pairs "
+             f"({b / wall:.1f} pairs/s), {n_cert} certified, "
+             f"{n_fb} BnB fallbacks")
+    ok = all(r.certified for r in results)
+    for r, R_true, t_true in zip(results, Rs, ts):
+        ok = ok and (np.abs(r.R - R_true).max() < 5e-3
+                     and np.abs(r.t - t_true).max()
+                     < 5e-3 * max(np.abs(t_true).max(), 1e-9))
+    if not ok:
+        _log("serving: CHECK FAILED (not all pairs certified+recovered)")
+    lines.append({
+        "metric": "serving_throughput_32pairs",
+        "value": round(b / wall, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round((b / wall) * CPU_CLASS_SECONDS, 2),
+        "converged": bool(ok),
+    })
+
+
 def bench_bunny(lines):
     from fgoicp_tpu.config import EngineConfig
     from fgoicp_tpu.io import load_cloud
@@ -293,6 +353,13 @@ def bench_bunny(lines):
         lines.append(_run_workload(
             "bunny_scans_000_045_trimmed", s_t, s_s, CPU_CLASS_SECONDS,
             mse_threshold=1e-4, trim_fraction=0.3, check=check_scan))
+        # Same honest trimmed search with the whole nested BnB on device
+        # (one jitted call per registration) — the dispatch-amortization
+        # win applies to the hardest real-scan workload too.
+        lines.append(_run_workload(
+            "bunny_scans_device_outer", s_t, s_s, CPU_CLASS_SECONDS,
+            engine=EngineConfig(outer_mode="device"),
+            mse_threshold=1e-4, trim_fraction=0.3, check=check_scan))
     lines.append(_run_workload(
         "bunny_time_to_global_optimum", pct, pcs, CPU_CLASS_SECONDS,
         mse_threshold=1e-3, check=check))
@@ -306,6 +373,8 @@ def main():
         bench_skull(lines)
     if only in ("", "dragon"):
         bench_dragon(lines)
+    if only in ("", "serving"):
+        bench_serving(lines)
     if only in ("", "bunny"):
         bench_bunny(lines)  # headline: must stay the LAST printed line
     for line in lines:

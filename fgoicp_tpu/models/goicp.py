@@ -299,12 +299,7 @@ class GoICP:
         lane batch, so the seeding costs a single device call.
         """
         if self.engine.icp_multi_start:
-            octants = [[sx * 0.5, sy * 0.5, sz * 0.5]
-                       for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-            r = 1.0 / np.sqrt(2.0)  # quaternion cube coord of a 90-deg turn
-            faces = [[s * r if a == ax else 0.0 for a in range(3)]
-                     for ax in range(3) for s in (-1, 1)]
-            starts = np.asarray(octants + faces, np.float32)
+            starts = geo.multi_start_cube_coords()
             R0 = np.concatenate([
                 np.eye(3, dtype=np.float32)[None],
                 np.asarray(geo.quat_cube_to_matrix(jnp.asarray(starts)))])

@@ -57,7 +57,9 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
                 target_axis=None, target_offset=None):
     """Run G ICP problems in lockstep.
 
-    pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch).
+    pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch)
+    or [G, ns, 3] (one source cloud per lane — the batched multi-pair
+    serving mode, models/serving.py).
     R0: [G, 3, 3], t0: [G, 3] initial transforms.
     active: [G] bool — inactive lanes are skipped entirely.
     trim_keep: keep only the K best correspondences per iteration and sum
@@ -76,12 +78,16 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     R0 = jnp.asarray(R0, jnp.float32)
     t0 = jnp.asarray(t0, jnp.float32)
     g = R0.shape[0]
-    ns = pcs.shape[0]
+    ns = pcs.shape[-2]
     nt_local = pct.shape[0]
     if active is None:
         active = jnp.ones((g,), bool)
 
-    cur0 = jnp.einsum("grc,nc->gnr", R0, pcs, precision=jax.lax.Precision.HIGHEST) + t0[:, None, :]
+    # Per-lane sources ([G, ns, 3]) only affect the initial transform;
+    # the loop body operates on the carried `cur` points either way.
+    src_spec = "gnc" if pcs.ndim == 3 else "nc"
+    cur0 = jnp.einsum(f"grc,{src_spec}->gnr", R0, pcs,
+                      precision=jax.lax.Precision.HIGHEST) + t0[:, None, :]
 
     def nn_query(cur):
         d2, idx = nn_ops.nearest_neighbor(
@@ -179,7 +185,8 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
 def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None):
     """Exact (optionally trimmed) SSE of G poses against the full target.
 
-    One NN pass — used to re-anchor incumbents produced by proxy-target
+    pcs: [ns, 3] shared source or [G, ns, 3] per-lane sources (serving
+    mode).  One NN pass — used to re-anchor incumbents produced by proxy-target
     search ICPs on the true objective (models/goicp.py).  When the
     TARGET is sharded over mesh axis `target_axis` (pct holds this
     device's slice), per-query minima resolve with a pmin before the
@@ -195,8 +202,9 @@ def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None):
     pct = jnp.asarray(pct, jnp.float32)
     pcs = jnp.asarray(pcs, jnp.float32)
     R = jnp.asarray(R, jnp.float32)
-    g, ns = R.shape[0], pcs.shape[0]
-    cur = jnp.einsum("grc,nc->gnr", R, pcs,
+    g, ns = R.shape[0], pcs.shape[-2]
+    src_spec = "gnc" if pcs.ndim == 3 else "nc"
+    cur = jnp.einsum(f"grc,{src_spec}->gnr", R, pcs,
                      precision=jax.lax.Precision.HIGHEST) \
         + jnp.asarray(t, jnp.float32)[:, None, :]
     d2 = nn_ops.nearest_sqdist(cur.reshape(g * ns, 3), pct).reshape(g, ns)

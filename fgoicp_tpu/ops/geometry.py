@@ -110,6 +110,22 @@ def translation_uncertainty_radius(span):
     return SQRT3 * span
 
 
+def multi_start_cube_coords() -> np.ndarray:
+    """Quaternion-cube coordinates of the 14 non-identity ICP seed starts:
+    the 8 rotation-cube octant centers plus the 6 face centers (the ±90°
+    rotations about each axis).  Scan pairs routinely sit a quarter-turn
+    apart, so a face-center start often lands the global basin and the
+    whole BnB collapses to a gap check (models/goicp.py:_initial_icp;
+    the reference seeds from identity only, fgoicp.cpp:12-14).
+    """
+    octants = [[sx * 0.5, sy * 0.5, sz * 0.5]
+               for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    r = 1.0 / np.sqrt(2.0)  # quaternion cube coordinate of a 90° turn
+    faces = [[s * r if a == ax else 0.0 for a in range(3)]
+             for ax in range(3) for s in (-1, 1)]
+    return np.asarray(octants + faces, np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Cloud normalization (fgoicp.cpp:176-287, fgoicp.hpp:87-90)
 # ---------------------------------------------------------------------------
