@@ -92,8 +92,8 @@ def start_rotations(multi_start: bool = True) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("trim_keep", "max_iter",
                                              "rescore"))
 def _seed_pairs(pct_c, icp_target, sources, starts_R, convergence,
-                convergence_final, trim_keep=None, max_iter: int = 100,
-                rescore: bool = True):
+                convergence_final, seed_idx=None, trim_keep=None,
+                max_iter: int = 100, rescore: bool = True):
     """One device call: multi-start ICP seeding for a whole pair batch.
 
     Mirrors the single-pair engine's pipeline phases that precede a
@@ -117,15 +117,29 @@ def _seed_pairs(pct_c, icp_target, sources, starts_R, convergence,
     src_c = sources - mu_s[:, None, :]
     scale = 1.0 / jnp.max(jnp.abs(src_c), axis=(1, 2))     # [B]
 
+    # Seeding iterates on a SOURCE subsample (seed_idx) as well as the
+    # proxy target: the B*S-lane phase only has to find each pair's
+    # basin — the exact rescore, the full-source polish, and the
+    # certificate all run on the full clouds, so the subsample can only
+    # affect WHICH start wins, never the validity of the result.
+    src_seed = src_c if seed_idx is None else src_c[:, seed_idx]
+    seed_trim = trim_keep
+    if trim_keep is not None and seed_idx is not None:
+        seed_trim = max(1, int(round(src_seed.shape[1] * trim_keep / ns)))
     R0 = jnp.tile(jnp.asarray(starts_R, jnp.float32), (b, 1, 1))
     t0 = jnp.zeros((b * s_cnt, 3), jnp.float32)
-    pcs_lanes = jnp.repeat(src_c, s_cnt, axis=0)           # [B*S, ns, 3]
-    sse_l, R_l, t_l = icp_model.icp_batched(
-        icp_target, pcs_lanes, R0, t0, max_iter=max_iter,
-        convergence_threshold=convergence, trim_keep=trim_keep)
-    if rescore:  # proxy-iterated poses: exact SSE on the full target
+    seed_lanes = jnp.repeat(src_seed, s_cnt, axis=0)       # [B*S, k, 3]
+    sse_icp, R_l, t_l = icp_model.icp_batched(
+        icp_target, seed_lanes, R0, t0, max_iter=max_iter,
+        convergence_threshold=convergence, trim_keep=seed_trim)
+    if rescore or seed_idx is not None:
+        # Exact full-cloud SSE ranks the starts (proxy- or
+        # subsample-iterated SSEs are biased).
+        pcs_lanes = jnp.repeat(src_c, s_cnt, axis=0)
         sse_l = icp_model.exact_sse_batched(
             pct_c, pcs_lanes, R_l, t_l, trim_keep=trim_keep)
+    else:
+        sse_l = sse_icp  # iterated on the full clouds: already exact
     sse_b = sse_l.reshape(b, s_cnt)
     k = jnp.argmin(sse_b, axis=1)                          # [B]
     lane = jnp.arange(b) * s_cnt + k
@@ -163,7 +177,7 @@ class RegistrationService:
     def __init__(self, target, mse_threshold: float = 1e-3,
                  engine: Optional[EngineConfig] = None,
                  proxy_size: int = 4096, trim_fraction: float = 0.0,
-                 mesh=None):
+                 seed_subsample: int = 2048, mesh=None):
         self.engine = engine or EngineConfig()
         target = np.asarray(target, np.float32)
         if target.ndim != 2 or target.shape[1] != 3:
@@ -175,6 +189,11 @@ class RegistrationService:
         self.mse_threshold = float(mse_threshold)
         self.trim_fraction = float(trim_fraction)
         self.proxy_size = int(proxy_size)
+        # Seeding-phase source subsample size (0 = full source): the
+        # B*S-lane seeding only has to FIND each pair's basin; rescore,
+        # polish, and the certificate run on the full clouds
+        # (_seed_pairs docstring), so this is a pure-cost knob.
+        self.seed_subsample = int(seed_subsample)
         self.mesh = mesh
         self.mu_t = target.mean(axis=0)
         # Centered target + shared ICP iteration target (proxy coreset
@@ -206,8 +225,15 @@ class RegistrationService:
                 np.asarray(sources, np.float32), self._starts,
                 np.float32(self.engine.icp_convergence_bnb),
                 np.float32(self.engine.icp_convergence_final))
-        kw = dict(trim_keep=trim_keep, max_iter=self.engine.icp_max_iter,
-                  rescore=self._rescore)
+        ns = int(sources.shape[1] if hasattr(sources, "shape")
+                 else len(sources[0]))
+        seed_idx = None
+        if 0 < self.seed_subsample < ns:
+            seed_idx = np.random.default_rng(
+                self.engine.seed + 7).permutation(ns)[
+                :self.seed_subsample].astype(np.int32)
+        kw = dict(seed_idx=seed_idx, trim_keep=trim_keep,
+                  max_iter=self.engine.icp_max_iter, rescore=self._rescore)
         if self.mesh is None:
             return jax.device_get(_seed_pairs(*args, **kw))
         from jax.sharding import PartitionSpec as P

@@ -146,6 +146,19 @@ def test_trimmed_serving(problem):
         assert np.abs(r.R - R_true).max() < 5e-2
 
 
+def test_seed_subsample_certifies(problem):
+    """Seeding on a source subsample still certifies: rescore/polish run
+    on the full clouds, so the subsample only changes which start wins."""
+    pct, sources, Rs, ts = problem
+    srv = serving.RegistrationService(
+        pct, mse_threshold=1e-3, seed_subsample=56,
+        engine=std_engine(icp_multi_start=True))
+    results = srv.register(sources, fallback=False)
+    for r, R_true in zip(results, Rs):
+        assert r.certified
+        assert np.abs(r.R - R_true).max() < 5e-2
+
+
 def test_input_validation(problem):
     pct, sources, _, _ = problem
     srv = serving.RegistrationService(pct)
