@@ -144,6 +144,15 @@ class EngineConfig:
     # full-target NN pass so the incumbent stays a true achievable SSE.
     # The final polish always uses the full target.
     icp_search_on_proxy: bool = True
+    # Search-phase ICPs also ITERATE on a source subsample of this size
+    # (0 = full source).  Seeding/refine lanes only need to FIND a basin:
+    # the winning pose is re-scored with one exact full-cloud NN pass, so
+    # the incumbent stays a true achievable SSE and the certificate is
+    # untouched — the subsample can only change WHICH basin a lane lands,
+    # same as the proxy-target lever above (serving.py proved the pattern
+    # at 2048; applied to the engine in round 4).  The final polish
+    # always runs the full source against the full target.
+    icp_search_subsample: int = 2048
     # Bound math: when True, reproduce the reference's rotation-uncertainty
     # radius exactly (squared point norm, unclamped half-angle,
     # registration.cu:39-43); when False use the Go-ICP paper's correct form

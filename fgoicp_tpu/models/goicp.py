@@ -91,8 +91,14 @@ class GoICP:
     def __init__(self, pct, pcs, lut_resolution: float = 0.005,
                  mse_threshold: float = 1e-3,
                  engine: Optional[EngineConfig] = None,
-                 bound_backend: str = "proxy", proxy_size: int = 4096,
+                 bound_backend: str = "proxy", proxy_size: int = 1024,
                  trim_fraction: float = 0.0, mesh=None):
+        # proxy_size=1024 (round 4): per-node bound cost is linear in the
+        # proxy while the covering-radius slack only adds ~10-20% node
+        # expansions going 4096 -> 1024 — the knee measured at 1024 on
+        # every real workload (nt 6k-98k, scripts/proxy_sweep.py;
+        # BASELINE.md table).  4096 was tuned when per-step dispatch
+        # dominated, before the round-3 readback fusion.
         self.engine = engine or EngineConfig()
         e = self.engine
         pct = np.asarray(pct, np.float32)
@@ -156,6 +162,20 @@ class GoICP:
                 from ..ops import coreset as coreset_ops
                 self._icp_search_target = coreset_ops.build(
                     self.pct, size=proxy_size, seed=e.seed).points
+
+        # Search-phase ICP source subsample (config.icp_search_subsample):
+        # iteration-only — every incumbent is re-anchored by an exact
+        # full-cloud NN pass in _icp, so this is a pure-cost knob.
+        self._icp_search_src = None
+        self._icp_search_trim = self.trim_keep
+        k_sub = e.icp_search_subsample
+        if 0 < k_sub < self.ns:
+            sub = np.sort(np.random.default_rng(
+                e.seed + 7).permutation(self.ns)[:k_sub])
+            self._icp_search_src = self.pcs[jnp.asarray(sub)]
+            if self.trim_keep is not None:
+                self._icp_search_trim = max(1, int(round(
+                    k_sub * self.trim_keep / self.ns)))
 
         # Hierarchical source clusters for SEARCH bounds (config docstring).
         self.src_clusters = None
@@ -237,15 +257,21 @@ class GoICP:
         target (it feeds the pruning incumbent).
 
         search=True routes the ICP ITERATIONS against the proxy coreset
-        when one exists (~4x fewer NN targets per iteration); the final
-        pose is then re-scored with one exact full-target NN pass, so the
-        incumbent stays a true achievable SSE and the certificate is
-        unaffected.  The pose itself may differ from a full-target ICP by
-        O(coreset radius) — irrelevant mid-search, and the final polish
-        (search=False) always runs on the full target."""
+        when one exists (~4x fewer NN targets per iteration) and onto the
+        source subsample when one is configured (icp_search_subsample);
+        the final pose is then re-scored with one exact full-cloud NN
+        pass, so the incumbent stays a true achievable SSE and the
+        certificate is unaffected.  The pose itself may differ from a
+        full-cloud ICP by O(coreset/subsample radius) — irrelevant
+        mid-search, and the final polish (search=False) always runs the
+        full source against the full target."""
         target = self.pct
-        if search and self.mesh is None and self._icp_search_target is not None:
-            target = self._icp_search_target
+        src, trim = self.pcs, self.trim_keep
+        if search and self.mesh is None:
+            if self._icp_search_target is not None:
+                target = self._icp_search_target
+            if self._icp_search_src is not None:
+                src, trim = self._icp_search_src, self._icp_search_trim
         if self.mesh is not None:
             sse, R, t = pbnb.icp_sharded(
                 self.pct, self.pcs, R0, t0, mesh=self.mesh, active=active,
@@ -253,21 +279,28 @@ class GoICP:
                 convergence_threshold=convergence, trim_keep=self.trim_keep)
         else:
             sse, R, t = icp_model.icp_batched(
-                target, self.pcs, R0, t0, active=active,
+                target, src, R0, t0, active=active,
                 max_iter=self.engine.icp_max_iter,
-                convergence_threshold=convergence, trim_keep=self.trim_keep)
-            if target is not self.pct:
+                convergence_threshold=convergence, trim_keep=trim)
+            if target is not self.pct or src is not self.pcs:
                 sse = icp_model.exact_sse_batched(
                     self.pct, self.pcs, R, t, trim_keep=self.trim_keep)
         # ONE batched fetch: separate np.asarray calls are three
         # serialized device->host roundtrips through the tunnel.
         return jax.device_get((sse, R, t))
 
-    def _icp_padded(self, R0, t0, n_active, convergence, search=False):
+    def _icp_padded(self, R0, t0, n_active, convergence, search=False,
+                    width=None):
         """ICP in chunks of the fixed lane width (pads the tail with
         inactive identity lanes) so every call shares one compiled
-        program regardless of candidate count."""
-        w = self.engine.icp_width
+        program regardless of candidate count.
+
+        `width` overrides the engine lane width: the single-pose final
+        polish runs width=1 — lanes compute in lockstep whether active or
+        not, so padding 1 pose to 16 lanes wastes 15/16 of the NN work
+        (measured 0.74 s -> 0.08 s on the trimmed scan pair's full-source
+        polish) at the cost of one extra compiled program."""
+        w = width or self.engine.icp_width
         n = len(R0)
         outs = []
         for i in range(0, n, w):
@@ -321,7 +354,7 @@ class GoICP:
         sse, R, t = self._icp_padded(
             np.asarray(self.best_rotation, np.float32)[None],
             np.asarray(self.best_translation, np.float32)[None],
-            1, self.engine.icp_convergence_final)
+            1, self.engine.icp_convergence_final, width=1)
         self.best_sse = float(sse[0])
         self.best_rotation, self.best_translation = R[0], t[0]
         self.stats.icp_runs += 1
@@ -771,6 +804,8 @@ class GoICP:
         def call(init_state, max_outer):
             common = dict(point_weights=pw, point_deltas=pd,
                           icp_search_target=self._icp_search_target,
+                          icp_search_src=self._icp_search_src,
+                          icp_search_trim=self._icp_search_trim,
                           trim_keep=self.trim_keep,
                           init_state=init_state, max_outer=max_outer,
                           **kw)

@@ -248,7 +248,7 @@ def certified_gap(s: SO3State):
     "translation_min_span", "pool_lanes", "pool_capacity",
     "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
     "points_axis", "trim_ns", "icp_refine_best", "cubes_axis", "n_cubes",
-    "history_capacity"))
+    "history_capacity", "icp_search_trim"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -262,6 +262,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    icp_convergence=0.005,
                    icp_trigger_factor=1.8,
                    icp_search_target=None,
+                   icp_search_src=None,
+                   icp_search_trim: Optional[int] = None,
                    trim_keep: Optional[int] = None,
                    points_axis=None, target_offset=None,
                    trim_ns: Optional[int] = None,
@@ -440,13 +442,18 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                 trim_keep=trim_keep, target_axis=points_axis,
                 target_offset=target_offset)
         else:
-            # Iterate on the (replicated) proxy coreset, then re-score
-            # exactly on the full target — possibly sharded.
+            # Iterate on the (replicated) proxy coreset — and on the
+            # source subsample when one is configured (icp_search_src /
+            # icp_search_trim, config.icp_search_subsample) — then
+            # re-score exactly on the full clouds, possibly sharded.
+            it_src = pcs if icp_search_src is None else icp_search_src
+            it_trim = trim_keep if icp_search_src is None \
+                else icp_search_trim
             _, R_i, t_i = icp_model.icp_batched(
-                icp_search_target, pcs, R[sel_l], t_g[sel_l], active=ok_l,
-                max_iter=icp_max_iter,
+                icp_search_target, it_src, R[sel_l], t_g[sel_l],
+                active=ok_l, max_iter=icp_max_iter,
                 convergence_threshold=icp_convergence,
-                trim_keep=trim_keep)
+                trim_keep=it_trim)
             sse_i = icp_model.exact_sse_batched(
                 pct, pcs, R_i, t_i, trim_keep=trim_keep,
                 target_axis=points_axis)

@@ -45,8 +45,30 @@ def timed(model):
     return acc, counts
 
 
+def load_workload(name):
+    """(pct, pcs, mse_threshold, trim_fraction) for a bench workload."""
+    from fgoicp_tpu.io import load_cloud
+    data = "/root/reference/data"
+    if name == "bunny":
+        return (load_cloud(f"{data}/bunny/model_bunny.txt", 0.5, seed=0),
+                load_cloud(f"{data}/bunny/data_bunny.txt", 0.1, seed=1),
+                1e-3, 0.0)
+    if name == "scan_pair":  # bench.py bunny_scans_000_045_trimmed
+        return (load_cloud(f"{data}/bunny/bun000.ply", 0.5, seed=0),
+                load_cloud(f"{data}/bunny/bun045.ply", 0.25, seed=1),
+                1e-4, 0.3)
+    if name == "dragon":     # bench.py dragon_trimmed
+        return (load_cloud(f"{data}/dragon/dragonClearSpace2_0.ply", 0.1,
+                           seed=0),
+                load_cloud(f"{data}/dragon/dragonToes3_0.ply", 0.05, seed=1),
+                1e-3, 0.3)
+    raise SystemExit(f"unknown workload {name!r}")
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="bunny",
+                    choices=("bunny", "scan_pair", "dragon"))
     ap.add_argument("--source-coreset", type=int, default=0)
     ap.add_argument("--pool-lanes", type=int, default=1024)
     ap.add_argument("--proxy-size", type=int, default=4096)
@@ -59,11 +81,9 @@ def main():
     args = ap.parse_args()
 
     from fgoicp_tpu.config import EngineConfig
-    from fgoicp_tpu.io import load_cloud
     from fgoicp_tpu.models.goicp import GoICP
 
-    pct = load_cloud("/root/reference/data/bunny/model_bunny.txt", 0.5, seed=0)
-    pcs = load_cloud("/root/reference/data/bunny/data_bunny.txt", 0.1, seed=1)
+    pct, pcs, mse, trim = load_workload(args.workload)
 
     eng = EngineConfig(source_coreset=args.source_coreset,
                        pool_lanes=args.pool_lanes,
@@ -73,8 +93,8 @@ def main():
                        pool_capacity=args.pool_capacity,
                        icp_multi_start=not args.no_multi_start)
     for run in range(args.runs):
-        model = GoICP(pct, pcs, mse_threshold=1e-3, engine=eng,
-                      proxy_size=args.proxy_size)
+        model = GoICP(pct, pcs, mse_threshold=mse, engine=eng,
+                      proxy_size=args.proxy_size, trim_fraction=trim)
         acc, counts = timed(model)
         t0 = time.time()
         model.run()
