@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(utils/sanitize.py): frontier structure, "
                         "lb <= ub bracketing, and incumbent faithfulness "
                         "validated every outer step")
+    p.add_argument("--serve", metavar="GLOB", default="",
+                   help="Serving mode: register EVERY cloud matching the "
+                        "glob against the config's [io] target in batched "
+                        "device calls (models/serving.py) instead of the "
+                        "single [io] source.  Writes one [pair.N] section "
+                        "per cloud to [io] output; ragged clouds are "
+                        "seeded-subsampled to a common size")
     p.add_argument("--version", action="version",
                    version=f"%(prog)s {__version__}")
     return p
@@ -81,6 +88,8 @@ def run(argv=None) -> int:
     pct = load_cloud(cfg.io.target, cfg.params.target_subsample,
                      seed=cfg.engine.seed)
     log.info(f"Target point cloud ({len(pct)}) loaded from {cfg.io.target}")
+    if args.serve:
+        return _run_serve(cfg, args, pct)
     pcs = load_cloud(cfg.io.source, cfg.params.source_subsample,
                      seed=cfg.engine.seed + 1)
     log.info(f"Source point cloud ({len(pcs)}) loaded from {cfg.io.source}")
@@ -117,6 +126,69 @@ def run(argv=None) -> int:
         write_ply(cfg.io.visualization, aligned)
         log.info(f"Transformed source written to {cfg.io.visualization}")
     return 0
+
+
+def _run_serve(cfg: Config, args, pct) -> int:
+    """Serving mode: batched registration of every glob match against the
+    config target (RegistrationService; one seeding device call for the
+    whole batch + per-pair BnB fallback)."""
+    import glob as _glob
+
+    from .models import serving
+
+    paths = sorted(_glob.glob(args.serve))
+    if not paths:
+        log.error(f"--serve matched no files: {args.serve!r}")
+        return 1
+    clouds = [load_cloud(p, cfg.params.source_subsample,
+                         seed=cfg.engine.seed + 1 + i)
+              for i, p in enumerate(paths)]
+    # The batched seeding call wants equal-size [B, ns, 3]; seeded-
+    # subsample ragged clouds down to the smallest (basin finding is
+    # insensitive to it, and any BnB fallback re-loads nothing — the
+    # fallback registers the subsampled cloud, like the reference's own
+    # source_subsample).
+    ns = min(len(c) for c in clouds)
+    rng = np.random.default_rng(cfg.engine.seed + 31)
+    batch = np.stack([
+        c if len(c) == ns else c[rng.choice(len(c), ns, replace=False)]
+        for c in clouds])
+    log.info(f"Serving {len(paths)} clouds ({ns} pts each) against "
+             f"{len(pct)}-pt target")
+    srv = serving.RegistrationService(
+        pct, mse_threshold=cfg.params.mse_threshold, engine=cfg.engine,
+        trim_fraction=(cfg.params.trim_fraction if cfg.params.trim
+                       else 0.0))
+    t0 = time.time()
+    results = srv.register(batch)
+    elapsed = time.time() - t0
+    n_cert = sum(r.certified for r in results)
+    n_fb = sum(r.fallback_used for r in results)
+    log.info(f"Registered {len(results)} pairs in {elapsed:.3f}s "
+             f"({len(results) / elapsed:.2f} pairs/s): {n_cert} certified, "
+             f"{n_fb} BnB fallbacks")
+    for p, r in zip(paths, results):
+        log.debug(f"{p}: mse={r.mse:.3g} certified={r.certified}",
+                  "\n\tRotation:\n", r.R, "\n\tTranslation: ", r.t)
+    if cfg.io.output:
+        with open(cfg.io.output, "w") as f:
+            f.write(f"[serve]\npairs = {len(results)}\n"
+                    f"elapsed_seconds = {elapsed:.4f}\n"
+                    f"certified = {n_cert}\nfallbacks = {n_fb}\n")
+            for i, (p, r) in enumerate(zip(paths, results)):
+                rows = ",\n  ".join(
+                    "[" + ", ".join(f"{v:.9g}" for v in row) + "]"
+                    for row in np.asarray(r.R, np.float64))
+                tv = ", ".join(f"{v:.9g}"
+                               for v in np.asarray(r.t, np.float64))
+                f.write(f"\n[pair.{i}]\nsource = {p!r}\n"
+                        f"mse = {r.mse:.9g}\n"
+                        f"certified = {'true' if r.certified else 'false'}\n"
+                        f"fallback = {'true' if r.fallback_used else 'false'}\n"
+                        f"translation = [{tv}]\n"
+                        f"rotation = [\n  {rows},\n]\n")
+        log.info(f"Results written to {cfg.io.output}")
+    return 0 if n_cert == len(results) else 2
 
 
 def _write_result(path: str, R, t, model: GoICP, elapsed: float) -> None:

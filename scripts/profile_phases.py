@@ -77,6 +77,7 @@ def main():
     ap.add_argument("--icp-width", type=int, default=16)  # engine default
     ap.add_argument("--pool-capacity", type=int, default=32768)
     ap.add_argument("--no-multi-start", action="store_true")
+    ap.add_argument("--icp-search-subsample", type=int, default=2048)
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
@@ -91,6 +92,7 @@ def main():
                        icp_max_iter=args.icp_max_iter,
                        icp_width=args.icp_width,
                        pool_capacity=args.pool_capacity,
+                       icp_search_subsample=args.icp_search_subsample,
                        icp_multi_start=not args.no_multi_start)
     for run in range(args.runs):
         model = GoICP(pct, pcs, mse_threshold=mse, engine=eng,

@@ -110,3 +110,63 @@ def test_make_test_pair_script(tmp_path):
     tr = tomllib.load(open(truth, "rb"))
     R = np.asarray(tr["truth"]["rotation"])
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+
+def test_cli_serve_batch(tmp_path):
+    """--serve registers a glob of scans against the config target in one
+    batched service call and writes a [pair.N] section per cloud."""
+    rng = np.random.default_rng(7)
+    pct = rng.uniform(-1, 1, size=(400, 3)).astype(np.float32)
+    tgt = tmp_path / "target.ply"
+    write_ply(str(tgt), pct)
+    Rs = []
+    for i in range(3):
+        ang = 0.2 + 0.1 * i
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0],
+                      [0, 0, 1]], np.float32)
+        t = np.array([0.05 * i, -0.04, 0.08], np.float32)
+        # Ragged sizes: --serve must subsample to a common size.
+        pcs = (pct[:200 + 20 * i] - t) @ R
+        write_ply(str(tmp_path / f"scan{i}.ply"), pcs)
+        Rs.append(R)
+    out_toml = tmp_path / "serve.toml"
+    cfg = tmp_path / "run.toml"
+    cfg.write_text(f"""
+[io]
+target = "{tgt}"
+source = "{tgt}"
+output = "{out_toml}"
+
+[params]
+mse_threshold = 1e-3
+
+[engine]
+rotation_batch = 2
+pool_lanes = 256
+pool_capacity = 8192
+""")
+    rc = cli_run(["-c", str(cfg), "--serve", str(tmp_path / "scan*.ply")])
+    assert rc == 0  # every pair certified
+    result = tomllib.load(open(out_toml, "rb"))
+    assert result["serve"]["pairs"] == 3
+    assert result["serve"]["certified"] == 3
+    for i in range(3):
+        pair = result["pair"][str(i)]
+        assert pair["certified"] is True
+        R = np.asarray(pair["rotation"])
+        np.testing.assert_allclose(R, Rs[i], atol=2e-2)
+
+
+def test_cli_serve_empty_glob(tmp_path):
+    tgt = tmp_path / "target.ply"
+    write_ply(str(tgt), np.random.default_rng(0).uniform(
+        -1, 1, size=(50, 3)).astype(np.float32))
+    cfg = tmp_path / "run.toml"
+    cfg.write_text(f"""
+[io]
+target = "{tgt}"
+source = "{tgt}"
+""")
+    assert cli_run(["-c", str(cfg),
+                    "--serve", str(tmp_path / "nope*.ply")]) == 1
