@@ -39,7 +39,15 @@ NT = 512
 PT = 1024
 
 
-def _kernel(n_p_tiles):
+def _proxy_tile(p):
+    """Proxy tile size for a P-point coreset: pad to 128 sublanes, cap at
+    PT.  Padding to a fixed PT=1024 made every coreset <=1024 cost exactly
+    1024's worth of VPU work — the proxy-size lever was dead below 1024
+    (round-4 finding: P=256 ran the same wall as P=1024)."""
+    return min(PT, -(-p // 128) * 128)
+
+
+def _kernel(n_p_tiles, pt):
     def kernel(base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
                gam_ub_ref, gam_lb_ref, gam_t_ref, w_ref, slack_ref,
                lb_ref, ub_ref):
@@ -60,7 +68,7 @@ def _kernel(n_p_tiles):
         # precision=HIGHEST (6 MXU passes, measured 4.7x slower overall).
         m = jnp.full((1, NT), BIG, jnp.float32)
         for p in range(n_p_tiles):
-            c = prox_ref[p * PT:(p + 1) * PT, :]             # [PT, 3]
+            c = prox_ref[p * pt:(p + 1) * pt, :]             # [pt, 3]
             dx = c[:, 0:1] - qx                              # [PT, NT]
             dy = c[:, 1:2] - qy
             dz = c[:, 2:3] - qz
@@ -80,42 +88,45 @@ def _kernel(n_p_tiles):
     return kernel
 
 
-def _lane_kernel(n_p_tiles):
+def _lane_kernel(n_p_tiles, pt, n_tiles):
     """Per-lane variant: each lane carries its own (group id, translation,
     gamma_t); the group id is scalar-prefetched so the lane's rotated base
-    tile and gamma_r row are DMA'd via the index map."""
+    row and gamma_r row are DMA'd via the index map.  The grid is (lanes,)
+    with the source-tile loop INSIDE the kernel: a (lanes, n_tiles) grid
+    paid the per-grid-step Mosaic overhead n_tiles times per lane and
+    accumulated across steps through SMEM (measured ~1.3 ms/step
+    P-independent intercept at L=1024, ns=1024 — round 4)."""
     def kernel(ids_ref, base_ref, tx_ref, ty_ref, tz_ref, prox_ref,
                gam_ub_ref, gam_lb_ref, gam_t_ref, w_ref, slack_ref,
                lb_ref, ub_ref):
-        n = pl.program_id(1)
-
-        @pl.when(n == 0)
-        def _():
-            lb_ref[0, 0, 0] = 0.0
-            ub_ref[0, 0, 0] = 0.0
-
-        qx = base_ref[0, 0:1, :] + tx_ref[0, 0, 0, 0]        # [1, NT]
-        qy = base_ref[0, 1:2, :] + ty_ref[0, 0, 0, 0]
-        qz = base_ref[0, 2:3, :] + tz_ref[0, 0, 0, 0]
-
-        m = jnp.full((1, NT), BIG, jnp.float32)
-        for p in range(n_p_tiles):
-            c = prox_ref[p * PT:(p + 1) * PT, :]             # [PT, 3]
-            dx = c[:, 0:1] - qx
-            dy = c[:, 1:2] - qy
-            dz = c[:, 2:3] - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
-
-        d = jnp.sqrt(jnp.maximum(m, 0.0))
-        w = w_ref[:]
         gt = gam_t_ref[0, 0, 0, 0]
         slack = slack_ref[0, 0]
-        ub_pt = jnp.square(jnp.maximum(d - gam_ub_ref[0], 0.0))
-        lb_pt = jnp.square(jnp.maximum(
-            d - slack - gam_lb_ref[0] - gt, 0.0))
-        ub_ref[0, 0, 0] += jnp.sum(w * ub_pt)
-        lb_ref[0, 0, 0] += jnp.sum(w * lb_pt)
+        lb_acc = jnp.float32(0.0)
+        ub_acc = jnp.float32(0.0)
+        for n in range(n_tiles):
+            sl = slice(n * NT, (n + 1) * NT)
+            qx = base_ref[0, 0:1, sl] + tx_ref[0, 0, 0, 0]   # [1, NT]
+            qy = base_ref[0, 1:2, sl] + ty_ref[0, 0, 0, 0]
+            qz = base_ref[0, 2:3, sl] + tz_ref[0, 0, 0, 0]
+
+            m = jnp.full((1, NT), BIG, jnp.float32)
+            for p in range(n_p_tiles):
+                c = prox_ref[p * pt:(p + 1) * pt, :]         # [pt, 3]
+                dx = c[:, 0:1] - qx
+                dy = c[:, 1:2] - qy
+                dz = c[:, 2:3] - qz
+                d2 = dx * dx + dy * dy + dz * dz
+                m = jnp.minimum(m, jnp.min(d2, axis=0, keepdims=True))
+
+            d = jnp.sqrt(jnp.maximum(m, 0.0))
+            w = w_ref[0:1, sl]
+            ub_pt = jnp.square(jnp.maximum(d - gam_ub_ref[0, 0:1, sl], 0.0))
+            lb_pt = jnp.square(jnp.maximum(
+                d - slack - gam_lb_ref[0, 0:1, sl] - gt, 0.0))
+            ub_acc += jnp.sum(w * ub_pt)
+            lb_acc += jnp.sum(w * lb_pt)
+        lb_ref[0, 0, 0] = lb_acc
+        ub_ref[0, 0, 0] = ub_acc
 
     return kernel
 
@@ -150,48 +161,49 @@ def fused_bounds_lanes(base, gids, t_lanes, proxies, gam_ub, gam_t_lanes,
     w = _pad_axis(w, 0, NT)[None, :]                          # [1, NSp]
     gam_ub = _pad_axis(jnp.asarray(gam_ub, jnp.float32), 1, NT)[:, None, :]
     gam_lb = _pad_axis(jnp.asarray(gam_lb, jnp.float32), 1, NT)[:, None, :]
-    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
+    pt = _proxy_tile(proxies.shape[0])
+    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, pt,
                        value=1e6)                             # [Pp, 3]
-    n_p_tiles = prox_p.shape[0] // PT
+    n_p_tiles = prox_p.shape[0] // pt
     n_tiles = nsp // NT
 
     t_lanes = jnp.asarray(t_lanes, jnp.float32)
     l111 = lambda a: a.reshape(lanes, 1, 1, 1)
     smem_l = lambda: pl.BlockSpec(
-        (1, 1, 1, 1), lambda l, n, ids: (l, 0, 0, 0),
+        (1, 1, 1, 1), lambda l, ids: (l, 0, 0, 0),
         memory_space=pltpu.SMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(lanes, n_tiles),
+        grid=(lanes,),
         in_specs=[
-            pl.BlockSpec((1, 3, NT), lambda l, n, ids: (ids[l], 0, n),
+            pl.BlockSpec((1, 3, nsp), lambda l, ids: (ids[l], 0, 0),
                          memory_space=pltpu.VMEM),            # base
             smem_l(),                                         # tx
             smem_l(),                                         # ty
             smem_l(),                                         # tz
-            pl.BlockSpec((prox_p.shape[0], 3), lambda l, n, ids: (0, 0),
+            pl.BlockSpec((prox_p.shape[0], 3), lambda l, ids: (0, 0),
                          memory_space=pltpu.VMEM),            # proxies
-            pl.BlockSpec((1, 1, NT), lambda l, n, ids: (ids[l], 0, n),
+            pl.BlockSpec((1, 1, nsp), lambda l, ids: (ids[l], 0, 0),
                          memory_space=pltpu.VMEM),            # gam_ub
-            pl.BlockSpec((1, 1, NT), lambda l, n, ids: (ids[l], 0, n),
+            pl.BlockSpec((1, 1, nsp), lambda l, ids: (ids[l], 0, 0),
                          memory_space=pltpu.VMEM),            # gam_lb
             smem_l(),                                         # gam_t
-            pl.BlockSpec((1, NT), lambda l, n, ids: (0, n),
+            pl.BlockSpec((1, nsp), lambda l, ids: (0, 0),
                          memory_space=pltpu.VMEM),            # weights
-            pl.BlockSpec((1, 1), lambda l, n, ids: (0, 0),
+            pl.BlockSpec((1, 1), lambda l, ids: (0, 0),
                          memory_space=pltpu.SMEM),            # slack
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1), lambda l, n, ids: (l, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda l, ids: (l, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda l, n, ids: (l, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda l, ids: (l, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((lanes, 1, 1), jnp.float32)] * 2
     lb, ub = pl.pallas_call(
-        _lane_kernel(n_p_tiles),
+        _lane_kernel(n_p_tiles, pt, n_tiles),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -243,9 +255,10 @@ def fused_bounds(base, t_centers, proxies, gam_ub, gam_t, slack,
     gam_lb = _pad_axis(jnp.asarray(gam_lb, jnp.float32), 1, NT)[:, None, :]
     # Padding proxies sit far away so they never win the min (kept finite
     # to avoid inf arithmetic).
-    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, PT,
+    pt = _proxy_tile(proxies.shape[0])
+    prox_p = _pad_axis(jnp.asarray(proxies, jnp.float32), 0, pt,
                        value=1e6)                             # [Pp, 3]
-    n_p_tiles = prox_p.shape[0] // PT
+    n_p_tiles = prox_p.shape[0] // pt
     n_tiles = nsp // NT
 
     # Per-(g, b) scalars carry two trailing singleton dims so their (1, 1)
@@ -262,7 +275,7 @@ def fused_bounds(base, t_centers, proxies, gam_ub, gam_t, slack,
     smem_gb = lambda: pl.BlockSpec((1, 1, 1, 1), lambda i, j, n: (i, j, 0, 0),
                                    memory_space=pltpu.SMEM)
     lb, ub = pl.pallas_call(
-        _kernel(n_p_tiles),
+        _kernel(n_p_tiles, pt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, NT), lambda i, j, n: (i, 0, n),

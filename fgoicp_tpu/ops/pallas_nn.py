@@ -31,7 +31,14 @@ QT = 1024   # query lanes per grid step
 TT = 512    # target sublanes per inner step
 
 
-def _kernel(n_t_tiles):
+def _target_tile(t):
+    """Target tile size: pad to 128 sublanes, cap at TT.  A fixed TT=512
+    made every target <=512 (small proxy coresets) cost 512's worth of
+    VPU work."""
+    return min(TT, -(-t // 128) * 128)
+
+
+def _kernel(n_t_tiles, tt):
     def kernel(q_ref, tgt_ref, d2_ref, idx_ref):
         qx = q_ref[0, 0:1, :]                                 # [1, QT]
         qy = q_ref[0, 1:2, :]
@@ -42,14 +49,14 @@ def _kernel(n_t_tiles):
         # costs 6 passes with precision=HIGHEST).
         def body(t, carry):
             m, mi = carry
-            c = tgt_ref[pl.ds(t * TT, TT), :]                 # [TT, 3]
-            dx = c[:, 0:1] - qx                               # [TT, QT]
+            c = tgt_ref[pl.ds(t * tt, tt), :]                 # [tt, 3]
+            dx = c[:, 0:1] - qx                               # [tt, QT]
             dy = c[:, 1:2] - qy
             dz = c[:, 2:3] - qz
             d2 = dx * dx + dy * dy + dz * dz
             lm = jnp.min(d2, axis=0, keepdims=True)           # [1, QT]
             la = (jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
-                  + t * TT)
+                  + t * tt)
             upd = lm < m
             return jnp.where(upd, lm, m), jnp.where(upd, la, mi)
 
@@ -62,7 +69,7 @@ def _kernel(n_t_tiles):
     return kernel
 
 
-def _kernel_min(n_t_tiles):
+def _kernel_min(n_t_tiles, tt):
     """Min-distance-only variant: bound evaluation needs d2 but not the
     winner's identity, and the per-tile argmin bookkeeping (iota +
     compare/select reductions) measurably dominates the plain min —
@@ -73,7 +80,7 @@ def _kernel_min(n_t_tiles):
         qz = q_ref[0, 2:3, :]
 
         def body(t, m):
-            c = tgt_ref[pl.ds(t * TT, TT), :]                 # [TT, 3]
+            c = tgt_ref[pl.ds(t * tt, tt), :]                 # [tt, 3]
             dx = c[:, 0:1] - qx
             dy = c[:, 1:2] - qy
             dz = c[:, 2:3] - qz
@@ -108,15 +115,16 @@ def nn_argmin(queries, points, interpret: bool = False):
     m_tiles = mp // QT
     q_t = q_t.reshape(3, m_tiles, QT).swapaxes(0, 1)          # [mt, 3, QT]
     # Far-away padding targets never win the min.
-    tgt_p = _pad_axis(points, 0, TT, value=1e6)               # [Tp, 3]
-    n_t_tiles = tgt_p.shape[0] // TT
+    tt = _target_tile(points.shape[0])
+    tgt_p = _pad_axis(points, 0, tt, value=1e6)               # [Tp, 3]
+    n_t_tiles = tgt_p.shape[0] // tt
 
     out_shape = [
         jax.ShapeDtypeStruct((m_tiles, 1, QT), jnp.float32),
         jax.ShapeDtypeStruct((m_tiles, 1, QT), jnp.int32),
     ]
     d2, idx = pl.pallas_call(
-        _kernel(n_t_tiles),
+        _kernel(n_t_tiles, tt),
         grid=(m_tiles,),
         in_specs=[
             pl.BlockSpec((1, 3, QT), lambda i: (i, 0, 0),
@@ -152,11 +160,12 @@ def nn_min(queries, points, interpret: bool = False):
     mp = q_t.shape[1]
     m_tiles = mp // QT
     q_t = q_t.reshape(3, m_tiles, QT).swapaxes(0, 1)          # [mt, 3, QT]
-    tgt_p = _pad_axis(points, 0, TT, value=1e6)               # [Tp, 3]
-    n_t_tiles = tgt_p.shape[0] // TT
+    tt = _target_tile(points.shape[0])
+    tgt_p = _pad_axis(points, 0, tt, value=1e6)               # [Tp, 3]
+    n_t_tiles = tgt_p.shape[0] // tt
 
     d2 = pl.pallas_call(
-        _kernel_min(n_t_tiles),
+        _kernel_min(n_t_tiles, tt),
         grid=(m_tiles,),
         in_specs=[
             pl.BlockSpec((1, 3, QT), lambda i: (i, 0, 0),
