@@ -131,7 +131,12 @@ def _kernel_gate():
     """Record a Pallas-vs-XLA equality pass on the REAL device with every
     bench run (KERNELCHECK.json artifact + stderr log).  VERDICT r2: a
     Mosaic regression passes the interpret-mode suite and would otherwise
-    only surface as a silently wrong bench number."""
+    only surface as a silently wrong bench number.
+
+    Returns False iff the gate is RED.  The caller must make that
+    BINDING: stamp gate_failed into every JSON line and exit nonzero
+    (VERDICT r4 weak #2 — r4 shipped a green BENCH artifact while this
+    gate was red, because the failure only went to stderr)."""
     import jax
     result = {"backend": jax.default_backend()}
     if jax.default_backend() != "tpu":
@@ -143,7 +148,7 @@ def _kernel_gate():
             import kernel_check
             ok, detail = kernel_check.run_check()
             result.update(ok=ok, detail=detail)
-        except Exception as e:  # never let the gate kill the bench
+        except Exception as e:  # a crashed gate is a FAILED gate
             result.update(ok=False, detail=[f"kernel check crashed: {e!r}"])
     for ln in result["detail"]:
         _log(f"kernel_check {ln}")
@@ -152,7 +157,9 @@ def _kernel_gate():
     with open(path, "w") as f:
         json.dump(result, f)
     if result["ok"] is False:
-        _log("kernel_check FAILED — bench numbers may be invalid")
+        _log("kernel_check FAILED — bench numbers are INVALID "
+             "(gate_failed stamped, exiting nonzero)")
+    return result["ok"] is not False
 
 
 def bench_skull(lines):
@@ -368,7 +375,7 @@ def bench_bunny(lines):
 def main():
     lines = []
     only = sys.argv[1] if len(sys.argv) > 1 else ""
-    _kernel_gate()
+    gate_ok = _kernel_gate()
     if only in ("", "skull"):
         bench_skull(lines)
     if only in ("", "dragon"):
@@ -378,7 +385,11 @@ def main():
     if only in ("", "bunny"):
         bench_bunny(lines)  # headline: must stay the LAST printed line
     for line in lines:
+        if not gate_ok:
+            line["gate_failed"] = True
         print(json.dumps(line), flush=True)
+    if not gate_ok:
+        sys.exit(1)  # a red kernel gate must never ship a green bench
 
 
 if __name__ == "__main__":

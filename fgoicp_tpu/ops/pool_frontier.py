@@ -133,10 +133,24 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         raise ValueError(
             "clustered trimming needs point_weights (member counts) and "
             "trim_ns (global member count)")
+    # The fused lane kernel covers plain trimming too (in-kernel drop-sum
+    # bracket, pallas_bounds._lane_kernel_trimmed); clustered trimming and
+    # point-sharded trimming stay on the XLA path (the bisection needs
+    # psum'd global counts / the weighted greedy).
+    import os
+    trim_kernel_ok = (trim_keep is None
+                      or (not clustered_trim and points_axis is None
+                          and not os.environ.get(
+                              "FGOICP_TPU_NO_TRIM_KERNEL")))
     if use_kernel is None:
         use_kernel = (isinstance(backend, bounds_ops.ProxyBackend)
-                      and trim_keep is None
+                      and trim_kernel_ok
                       and bounds_ops._use_fused_kernel())
+    use_kernel = use_kernel and trim_kernel_ok
+    n_drop = 0
+    if trim_keep is not None:
+        n_drop = (trim_ns if trim_ns is not None else pcs.shape[0]) \
+            - trim_keep
 
     base = jnp.einsum("grc,nc->gnr", R, pcs,
                       precision=jax.lax.Precision.HIGHEST)   # [G, ns, 3]
@@ -191,10 +205,18 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         gam_t_l = geo.translation_uncertainty_radius(pop_s)  # [L]
 
         if use_kernel:
-            lb_e, ub_e = pallas_bounds.fused_bounds_lanes(
-                base, pop_gid, pop_c, backend.coreset.points, gam_ub,
-                gam_t_l, slack, point_weights=point_weights,
-                gam_lb=gam_lb, interpret=(jax.default_backend() != "tpu"))
+            if trim_keep is not None and n_drop > 0:
+                lb_e, ub_e = pallas_bounds.fused_bounds_lanes_trimmed(
+                    base, pop_gid, pop_c, backend.coreset.points, gam_ub,
+                    gam_t_l, slack, n_drop=n_drop,
+                    point_weights=point_weights, gam_lb=gam_lb,
+                    interpret=(jax.default_backend() != "tpu"))
+            else:
+                lb_e, ub_e = pallas_bounds.fused_bounds_lanes(
+                    base, pop_gid, pop_c, backend.coreset.points, gam_ub,
+                    gam_t_l, slack, point_weights=point_weights,
+                    gam_lb=gam_lb,
+                    interpret=(jax.default_backend() != "tpu"))
             if points_axis is not None:
                 lb_e = jax.lax.psum(lb_e, points_axis)
                 ub_e = jax.lax.psum(ub_e, points_axis)
