@@ -92,7 +92,17 @@ class GoICP:
                  mse_threshold: float = 1e-3,
                  engine: Optional[EngineConfig] = None,
                  bound_backend: str = "proxy", proxy_size: int = 1024,
-                 trim_fraction: float = 0.0, mesh=None):
+                 trim_fraction: float = 0.0, mesh=None,
+                 seed_pose_centered=None, shared_proxy=None):
+        # seed_pose_centered (R [3,3], t [3]) — a pose in the CENTERED
+        # frame (R (pcs - mu_s) + t ~ pct - mu_t) from an external
+        # seeding pass (the serving batch, models/serving.py); the
+        # initial ICP starts from it (plus identity) instead of the
+        # 15-start sweep, which the caller already ran.
+        # shared_proxy: ProxyCoreset built ONCE on the CENTERED target,
+        # rescaled here by this pair's normalization factor (FPS is
+        # scale-covariant: same indices, eps scales linearly) — the
+        # serving fallback path shares one build across pairs.
         # proxy_size=1024 (round 4): per-node bound cost is linear in the
         # proxy while the covering-radius slack only adds ~10-20% node
         # expansions going 4096 -> 1024 — the knee measured at 1024 on
@@ -141,10 +151,27 @@ class GoICP:
                 self.pct, kind="lut", field=field,
                 conservative=e.lut_conservative,
                 ref_compat=e.ref_compat_lut, lookup=e.lut_lookup)
+        elif shared_proxy is not None and bound_backend == "proxy":
+            # Rescale the caller's centered-target coreset into this
+            # pair's normalized frame (uniform scaling: identical FPS
+            # selection, covering radius scales linearly).
+            from ..ops import coreset as coreset_ops
+            cs = coreset_ops.ProxyCoreset(
+                points=jnp.asarray(shared_proxy.points, jnp.float32)
+                * self.norm.scale,
+                eps=jnp.asarray(shared_proxy.eps, jnp.float32)
+                * self.norm.scale)
+            self.backend = bounds_ops.ProxyBackend(coreset=cs)
         else:
             self.backend = bounds_ops.make_backend(
                 self.pct, kind=bound_backend, proxy_size=proxy_size,
                 seed=e.seed)
+        self._seed_pose = None
+        if seed_pose_centered is not None:
+            R_s, t_s = seed_pose_centered
+            self._seed_pose = (np.asarray(R_s, np.float32),
+                               np.asarray(t_s, np.float32)
+                               * float(self.norm.scale))
 
         # Search-phase ICP target: a proxy coreset when it is smaller
         # than the full target (see _icp docstring; the incumbent sse is
@@ -335,14 +362,23 @@ class GoICP:
         the whole BnB to a gap check).  15 starts fill one icp_width=16
         lane batch, so the seeding costs a single device call.
         """
-        if self.engine.icp_multi_start:
+        if self._seed_pose is not None:
+            # An external seeding pass (serving) already swept the
+            # multi-start set; start from its pose (+identity as the
+            # reference's own start, fgoicp.cpp:12) instead of redoing
+            # the sweep.
+            R0 = np.stack([self._seed_pose[0],
+                           np.eye(3, dtype=np.float32)])
+            t0 = np.stack([self._seed_pose[1], np.zeros(3, np.float32)])
+        elif self.engine.icp_multi_start:
             starts = geo.multi_start_cube_coords()
             R0 = np.concatenate([
                 np.eye(3, dtype=np.float32)[None],
                 np.asarray(geo.quat_cube_to_matrix(jnp.asarray(starts)))])
+            t0 = np.zeros((len(R0), 3), np.float32)
         else:
             R0 = np.eye(3, dtype=np.float32)[None]
-        t0 = np.zeros((len(R0), 3), np.float32)
+            t0 = np.zeros((len(R0), 3), np.float32)
         sse, R, t = self._icp_padded(
             R0, t0, len(R0), self.engine.icp_convergence_init, search=True)
         k = int(np.argmin(sse[:len(R0)]))

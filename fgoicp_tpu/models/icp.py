@@ -54,7 +54,7 @@ def _masked(pred, new, old):
 def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
                 convergence_threshold=0.005, t_chunk=2048, q_chunk=8192,
                 trim_keep=None, rank_precision="highest",
-                target_axis=None, target_offset=None):
+                target_axis=None, target_offset=None, point_weights=None):
     """Run G ICP problems in lockstep.
 
     pct: [nt, 3] target; pcs: [ns, 3] source (shared across the batch)
@@ -65,6 +65,9 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     trim_keep: keep only the K best correspondences per iteration and sum
     only the K smallest residuals (trimmed ICP — an extension the reference
     parses but never implements, SURVEY §2 row 2).
+    point_weights: [ns] or [G, ns] per-point weights — 0 marks padding
+    lanes (the ragged serving batch), soft values weight Procrustes and
+    the SSE.  Combines multiplicatively with the trim mask.
     target_axis/target_offset: when the TARGET cloud is sharded over a
     mesh axis (`pct` is this device's slice starting at global row
     `target_offset`), correspondences resolve via a pmin vote: global
@@ -82,6 +85,14 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
     nt_local = pct.shape[0]
     if active is None:
         active = jnp.ones((g,), bool)
+    w_pt = None
+    if point_weights is not None:
+        if trim_keep is not None and trim_keep < ns:
+            # Padding zeros would displace real points from the trim
+            # keep-set; the ragged serving path forbids trimming instead.
+            raise ValueError("point_weights cannot combine with trim_keep")
+        w_pt = jnp.broadcast_to(
+            jnp.asarray(point_weights, jnp.float32), (g, ns))
 
     # Per-lane sources ([G, ns, 3]) only affect the initial transform;
     # the loop body operates on the carried `cur` points either way.
@@ -114,15 +125,18 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
         return jax.lax.psum(pts, target_axis)
 
     def trimmed_sum(d2):
+        if w_pt is not None:
+            d2 = d2 * w_pt
         if trim_keep is None or trim_keep >= ns:
             return jnp.sum(d2, axis=-1)
         return -jnp.sum(jax.lax.top_k(-d2, trim_keep)[0], axis=-1)
 
     def trim_mask(d2):
         if trim_keep is None or trim_keep >= ns:
-            return None
+            return w_pt
         thr = -jax.lax.top_k(-d2, trim_keep)[0][..., -1]
-        return (d2 <= thr[..., None]).astype(jnp.float32)
+        m = (d2 <= thr[..., None]).astype(jnp.float32)
+        return m if w_pt is None else m * w_pt
 
     def body(s: ICPState) -> ICPState:
         run = ~s.done
@@ -182,7 +196,8 @@ def icp_batched(pct, pcs, R0, t0, active=None, max_iter: int = 100,
 
 
 @functools.partial(jax.jit, static_argnames=("trim_keep", "target_axis"))
-def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None):
+def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None,
+                      point_weights=None):
     """Exact (optionally trimmed) SSE of G poses against the full target.
 
     pcs: [ns, 3] shared source or [G, ns, 3] per-lane sources (serving
@@ -210,6 +225,11 @@ def exact_sse_batched(pct, pcs, R, t, trim_keep=None, target_axis=None):
     d2 = nn_ops.nearest_sqdist(cur.reshape(g * ns, 3), pct).reshape(g, ns)
     if target_axis is not None:
         d2 = jax.lax.pmin(d2, target_axis)
+    if point_weights is not None:
+        if trim_keep is not None and trim_keep < ns:
+            raise ValueError("point_weights cannot combine with trim_keep")
+        d2 = d2 * jnp.broadcast_to(
+            jnp.asarray(point_weights, jnp.float32), (g, ns))
     if trim_keep is not None and trim_keep < ns:
         return -jnp.sum(jax.lax.top_k(-d2, trim_keep)[0], axis=-1)
     return jnp.sum(d2, axis=-1)

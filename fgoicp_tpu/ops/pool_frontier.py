@@ -133,15 +133,23 @@ def bnb_r3_pooled(backend, pcs, R, rot_spans, fix_rot, best_sse,
         raise ValueError(
             "clustered trimming needs point_weights (member counts) and "
             "trim_ns (global member count)")
-    # The fused lane kernel covers plain trimming too (in-kernel drop-sum
-    # bracket, pallas_bounds._lane_kernel_trimmed); clustered trimming and
-    # point-sharded trimming stay on the XLA path (the bisection needs
-    # psum'd global counts / the weighted greedy).
+    # Trimming defaults to the XLA lane path, NOT the fused trimmed
+    # kernel (pallas_bounds._lane_kernel_trimmed) — measured round 5 on
+    # v5e: the fused kernel's per-lane serial bisection (52 dependent
+    # [1, ns] cross-lane reductions per grid step) makes it ~30% SLOWER
+    # than the XLA path at both trimmed workloads (dragon inner BnB
+    # 0.55 s vs 0.30 s; scan pair 0.89 s vs 0.68 s; identical node
+    # counts/optima), because the XLA path's cost is pallas_nn.nn_min,
+    # which already runs at ~87% of the VPU f32 ceiling — there is
+    # nothing left for fusion to win.  The kernel stays equality-gated
+    # (scripts/kernel_check.py) and opt-in via
+    # FGOICP_TPU_FORCE_TRIM_KERNEL, like the MXU/min-plus records.
+    # Clustered and point-sharded trimming always use the XLA path.
     import os
     trim_kernel_ok = (trim_keep is None
                       or (not clustered_trim and points_axis is None
-                          and not os.environ.get(
-                              "FGOICP_TPU_NO_TRIM_KERNEL")))
+                          and bool(os.environ.get(
+                              "FGOICP_TPU_FORCE_TRIM_KERNEL"))))
     if use_kernel is None:
         use_kernel = (isinstance(backend, bounds_ops.ProxyBackend)
                       and trim_kernel_ok

@@ -170,3 +170,58 @@ def test_input_validation(problem):
         srv.register(bad)
     with pytest.raises(ValueError, match="target"):
         serving.RegistrationService(np.zeros((4, 2), np.float32))
+
+
+def test_ragged_batch_certifies(problem):
+    """Ragged [ns_i, 3] sources pad with zero-weight lanes — no point is
+    discarded, each pair certifies against its own ns_i threshold, and
+    recovery matches the equal-size path."""
+    pct, *_ = problem
+    rng = np.random.default_rng(5)
+    clouds, Rs, ts = [], [], []
+    for i, ns in enumerate((80, 55, 103)):
+        idx = rng.choice(len(pct), size=ns, replace=False)
+        R = _rot(rng.normal(size=3), rng.uniform(0.1, 0.5))
+        t = rng.uniform(-0.2, 0.2, size=3).astype(np.float32)
+        clouds.append((pct[idx] - t) @ R)
+        Rs.append(R)
+        ts.append(t)
+    srv = serving.RegistrationService(pct, mse_threshold=1e-3,
+                                      engine=std_engine(icp_multi_start=True))
+    results = srv.register(clouds)
+    for r, R_true, t_true, cl in zip(results, Rs, ts, clouds):
+        assert r.certified
+        assert np.abs(r.R - R_true).max() < 5e-2
+        # World-frame check: R s + t must land on the target.
+        mapped = cl @ np.asarray(r.R).T + np.asarray(r.t)
+        d = np.min(np.linalg.norm(
+            mapped[:, None, :] - pct[None, :, :], axis=-1), axis=1)
+        assert float(np.mean(d ** 2)) < 1e-3
+
+
+def test_ragged_rejects_trim(problem):
+    pct, *_ = problem
+    srv = serving.RegistrationService(pct, trim_fraction=0.2,
+                                      engine=std_engine())
+    with pytest.raises(ValueError, match="ragged"):
+        srv.register([np.zeros((10, 3), np.float32),
+                      np.zeros((12, 3), np.float32)])
+
+
+def test_fallback_seed_handoff_and_shared_proxy(problem):
+    """Fallback pairs hand the batched seeding pose to GoICP (no
+    redundant 15-start sweep) and share one target coreset build."""
+    pct, *_ = problem
+    rng = np.random.default_rng(7)
+    idx = rng.choice(len(pct), size=80, replace=False)
+    R = _rot([0, 0, 1], np.pi * 0.95)
+    t = np.asarray([0.1, -0.05, 0.04], np.float32)
+    source = (pct[idx] - t) @ R
+    srv = serving.RegistrationService(pct, mse_threshold=1e-3,
+                                      engine=std_engine())
+    res = srv.register(np.stack([source, source]))
+    assert srv._fallback_proxy is not None  # built once, shared
+    for r in res:
+        assert r.fallback_used and r.certified
+        assert np.abs(r.R - R).max() < 5e-2
+        assert r.mse <= 1e-3
