@@ -116,6 +116,12 @@ class EngineConfig:
     so3_capacity: int = 16384
     pool_lanes: int = 1024        # nodes evaluated per pooled step
     pool_capacity: int = 32768    # pooled frontier capacity
+    # Pooled frontier update strategy: "sort" = argsort the whole
+    # [capacity + 8*lanes] concat each step; "merge" = keep the pool
+    # sorted invariantly and binary-search-merge the 8*lanes children
+    # in (dominance filtering moves to pop time; identical pop order,
+    # pool_frontier._merge_sorted).  Both exact; perf differs per shape.
+    pool_update: str = "sort"
     # ICP (fgoicp.cpp:12,22,76).
     icp_max_iter: int = 100
     # Fixed lane width of batched ICP calls: triggered BnB candidates are

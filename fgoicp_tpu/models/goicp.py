@@ -489,7 +489,8 @@ class GoICP:
                 capacity=e.pool_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
                 point_weights=pw, point_deltas=pd, err_share_from=share,
-                trim_ns=(self.ns if self.trim_keep is not None else None))
+                trim_ns=(self.ns if self.trim_keep is not None else None),
+                pool_update=e.pool_update)
         elif self.mesh is not None:
             st = pbnb.bnb_r3_sharded(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -506,7 +507,8 @@ class GoICP:
                 lanes=e.pool_lanes, capacity=e.pool_capacity,
                 ref_compat_gamma=e.ref_compat_gamma, trim_keep=self.trim_keep,
                 point_weights=pw, point_deltas=pd, err_share_from=share,
-                trim_ns=(self.ns if self.trim_keep is not None else None))
+                trim_ns=(self.ns if self.trim_keep is not None else None),
+                pool_update=e.pool_update)
         else:
             st = frontier_ops.bnb_r3_batched(
                 self.backend, self.pcs, R2, spans2, fix2,
@@ -839,7 +841,8 @@ class GoICP:
             icp_convergence=jnp.float32(e.icp_convergence_bnb),
             icp_trigger_factor=e.icp_trigger_factor,
             icp_refine_best=e.icp_refine_best,
-            trim_ns=(self.ns if self.trim_keep is not None else None))
+            trim_ns=(self.ns if self.trim_keep is not None else None),
+            pool_update=e.pool_update)
 
         def call(init_state, max_outer):
             common = dict(point_weights=pw, point_deltas=pd,

@@ -248,7 +248,7 @@ def certified_gap(s: SO3State):
     "translation_min_span", "pool_lanes", "pool_capacity",
     "ref_compat_gamma", "icp_width", "icp_max_iter", "trim_keep",
     "points_axis", "trim_ns", "icp_refine_best", "cubes_axis", "n_cubes",
-    "history_capacity", "icp_search_trim"))
+    "history_capacity", "icp_search_trim", "pool_update"))
 def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    best_t0, sse_threshold,
                    point_weights=None, point_deltas=None,
@@ -270,7 +270,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
                    icp_refine_best: bool = True,
                    cubes_axis=None, n_cubes: int = 1,
                    history_capacity: int = 32,
-                   init_state: Optional[SO3State] = None) -> SO3State:
+                   init_state: Optional[SO3State] = None,
+                   pool_update: str = "sort") -> SO3State:
     """Run the whole nested BnB on device; returns the final SO3State.
 
     pct: [nt, 3] full target (exact ICP scoring); pcs: [ns, 3] full
@@ -402,7 +403,8 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             trim_keep=trim_keep, point_weights=point_weights,
             point_deltas=point_deltas, err_share_from=share,
             points_axis=points_axis, trim_ns=trim_ns,
-            lockstep_axes=(() if cubes_axis is None else (cubes_axis,)))
+            lockstep_axes=(() if cubes_axis is None else (cubes_axis,)),
+            pool_update=pool_update)
         ub_l = jnp.where(eval_l, st.best_ub[:g_loc], BIG)
         t_l = st.best_t[:g_loc]
         lb_l = jnp.minimum(

@@ -140,7 +140,8 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
                           trim_keep: Optional[int] = None,
                           point_weights=None, point_deltas=None,
                           err_share_from=None,
-                          trim_ns: Optional[int] = None):
+                          trim_ns: Optional[int] = None,
+                          pool_update: str = "sort"):
     """Pooled inner BnB over a (cubes, points) mesh.
 
     Each cubes-shard runs its own pool over its slice of the rotation
@@ -202,7 +203,8 @@ def bnb_r3_pooled_sharded(backend, pcs, R, rot_spans, fix_rot, best_sse,
             points_axis=points_axis, lockstep_axes=lockstep,
             point_weights=(w_ if use_weights else None),
             point_deltas=d_, err_share_from=share_,
-            err_share_axis=share_axis, trim_ns=trim_ns)
+            err_share_axis=share_axis, trim_ns=trim_ns,
+            pool_update=pool_update)
         return PoolResult(best_ub=st.best_ub, best_err=st.best_err,
                           best_t=st.best_t, evaluated=st.evaluated,
                           steps=st.steps, dropped=st.dropped[None],

@@ -159,3 +159,62 @@ def test_pooled_trimmed_bounds():
         lanes=32, capacity=2048, max_steps=2000, trim_keep=keep)
     np.testing.assert_allclose(np.asarray(st.best_ub),
                                np.asarray(ref.best_ub), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_merge_update_matches_sort(seed):
+    """pool_update='merge' (sorted-invariant pool + binary-search merge,
+    dominance deferred to pop time) proves the same per-group optima.
+    Parity is NEAR-exact: dominance is a per-group threshold, so a
+    dominated entry of a small-incumbent group can sort ahead of a valid
+    entry of another group and waste its pop lane — a few extra masked
+    steps, never a different optimum (pool_frontier body comment)."""
+    backend, pcs, R, spans, fix = _problem(seed=seed)
+    args = (backend, pcs, R, spans, fix,
+            jnp.float32(1e9), jnp.float32(1e-4))
+    a = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=4096,
+                                    max_steps=2000, pool_update="sort")
+    b = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=4096,
+                                    max_steps=2000, pool_update="merge")
+    assert abs(int(a.steps) - int(b.steps)) <= max(3, int(a.steps) // 10)
+    np.testing.assert_allclose(np.asarray(a.best_ub),
+                               np.asarray(b.best_ub), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.best_err),
+                               np.asarray(b.best_err), rtol=1e-5, atol=1e-7)
+    assert int(a.dropped) == int(b.dropped) == 0
+
+
+def test_merge_update_inactive_groups():
+    """Init-sort handles INVALID holes among the root slots."""
+    backend, pcs, R, spans, fix = _problem(seed=2)
+    g = R.shape[0]
+    act = jnp.asarray([True, False, True, True, False, True])
+    args = (backend, pcs, R, spans, fix,
+            jnp.float32(1e9), jnp.float32(1e-4))
+    a = pool_frontier.bnb_r3_pooled(*args, group_active=act, lanes=32,
+                                    capacity=4096, pool_update="sort")
+    b = pool_frontier.bnb_r3_pooled(*args, group_active=act, lanes=32,
+                                    capacity=4096, pool_update="merge")
+    np.testing.assert_array_equal(np.asarray(a.best_ub),
+                                  np.asarray(b.best_ub))
+    np.testing.assert_array_equal(np.asarray(a.evaluated),
+                                  np.asarray(b.evaluated))
+    assert not np.any(np.asarray(b.evaluated)[~np.asarray(act)])
+
+
+def test_merge_update_overflow_keeps_lb_sound():
+    """Under capacity overflow the merge scheduler may retain dominated
+    entries where sort frees them (different drop sets), but the
+    dropped_lb-clamped certificate must stay sound."""
+    backend, pcs, R, spans, fix = _problem(seed=4)
+    g = R.shape[0]
+    args = (backend, pcs, R, spans, fix, jnp.float32(1e9), jnp.float32(1e-4))
+    big = pool_frontier.bnb_r3_pooled(*args, lanes=32, capacity=8192,
+                                      max_steps=3000)
+    small = pool_frontier.bnb_r3_pooled(*args, lanes=8, capacity=g + 4,
+                                        max_steps=3000, pool_update="merge")
+    assert int(small.dropped) > 0, "capacity g+4 must overflow"
+    lb_sound = np.minimum(
+        np.minimum(np.asarray(small.best_ub), np.asarray(small.best_err)),
+        np.asarray(small.dropped_lb))
+    assert np.all(lb_sound <= np.asarray(big.best_ub) + 1e-5)
