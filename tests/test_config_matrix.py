@@ -38,9 +38,15 @@ def _problem():
     return pct, pcs, R_true, t_true
 
 
-# (label, outer_mode, frontier_mode, backend, source_coreset, trim)
+# (label, outer_mode, frontier_mode, backend, source_coreset, trim
+#  [, pool_update])
 COMBOS = [
     ("host-pooled-proxy", "host", "pooled", "proxy", 0, 0.0),
+    ("host-pooled-proxy-merge", "host", "pooled", "proxy", 0, 0.0,
+     "merge"),
+    ("device-proxy-merge", "device", "pooled", "proxy", 0, 0.0, "merge"),
+    ("host-pooled-exact-trim-merge", "host", "pooled", "exact", 0, 0.2,
+     "merge"),
     ("host-pooled-exact", "host", "pooled", "exact", 0, 0.0),
     ("host-pooled-lut", "host", "pooled", "lut", 0, 0.0),
     ("host-grouped-exact", "host", "grouped", "exact", 0, 0.0),
@@ -59,15 +65,16 @@ COMBOS = [
 
 
 @pytest.mark.parametrize(
-    "label,outer,frontier,backend,coreset,trim",
-    COMBOS, ids=[c[0] for c in COMBOS])
-def test_matrix_same_certified_optimum(label, outer, frontier, backend,
-                                       coreset, trim):
+    "combo", COMBOS, ids=[c[0] for c in COMBOS])
+def test_matrix_same_certified_optimum(combo):
     from fgoicp_tpu.models.goicp import GoICP
 
+    label, outer, frontier, backend, coreset, trim = combo[:6]
+    pool_update = combo[6] if len(combo) > 6 else "sort"
     pct, pcs, R_true, t_true = _problem()
     eng = std_engine(outer_mode=outer, frontier_mode=frontier,
-                     source_coreset=coreset, so3_capacity=2048)
+                     source_coreset=coreset, so3_capacity=2048,
+                     pool_update=pool_update)
     m = GoICP(pct, pcs, engine=eng, mse_threshold=5e-4,
               bound_backend=backend, proxy_size=64, lut_resolution=0.05,
               trim_fraction=trim)
