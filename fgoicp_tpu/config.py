@@ -120,7 +120,10 @@ class EngineConfig:
     # [capacity + 8*lanes] concat each step; "merge" = keep the pool
     # sorted invariantly and binary-search-merge the 8*lanes children
     # in (dominance filtering moves to pop time; identical pop order,
-    # pool_frontier._merge_sorted).  Both exact; perf differs per shape.
+    # pool_frontier._merge_sorted).  Both exact.  Measured on v5e the
+    # merge is ~29% SLOWER end-to-end (dependent count-less passes
+    # serialize where one wide argsort vectorizes — DESIGN.md §6e);
+    # "merge" stays as an opt-in negative-result record.
     pool_update: str = "sort"
     # ICP (fgoicp.cpp:12,22,76).
     icp_max_iter: int = 100

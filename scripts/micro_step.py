@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--groups", type=int, default=256)
     ap.add_argument("--capacity", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--pool-update", default="sort",
+                    choices=("sort", "merge"))
     args = ap.parse_args()
 
     import jax
@@ -100,7 +102,8 @@ def main():
         return pool_frontier.bnb_r3_pooled(
             backend, pcs, R, spans, fix, jnp.float32(1e12),
             jnp.float32(-1.0), min_span=0.0, lanes=args.lanes,
-            capacity=args.capacity, max_steps=ms)
+            capacity=args.capacity, max_steps=ms,
+            pool_update=args.pool_update)
 
     w = timeit(pooled, args.steps)
     w2 = timeit(pooled, 2 * args.steps)

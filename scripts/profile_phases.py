@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--pool-capacity", type=int, default=32768)
     ap.add_argument("--no-multi-start", action="store_true")
     ap.add_argument("--icp-search-subsample", type=int, default=2048)
+    ap.add_argument("--pool-update", default="sort",
+                    choices=("sort", "merge"))
+    ap.add_argument("--outer-mode", default="host",
+                    choices=("host", "device"))
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
@@ -93,6 +97,8 @@ def main():
                        icp_width=args.icp_width,
                        pool_capacity=args.pool_capacity,
                        icp_search_subsample=args.icp_search_subsample,
+                       pool_update=args.pool_update,
+                       outer_mode=args.outer_mode,
                        icp_multi_start=not args.no_multi_start)
     for run in range(args.runs):
         model = GoICP(pct, pcs, mse_threshold=mse, engine=eng,
