@@ -295,9 +295,16 @@ def bench_serving(lines):
 
     # Fallback-heavy regime (VERDICT r4 weak #6: the 21 pairs/s line had
     # 0 fallbacks, so the batching-matters-most path was unmeasured):
-    # half-space partial views at random poses with trimming — seeding
-    # cannot certify every pair, and the uncertified ones exercise the
-    # batched-seeding -> seed-handoff -> shared-coreset BnB fallback.
+    # half-space partial views at random poses — seeding cannot certify
+    # every pair, and the uncertified ones exercise the batched-seeding
+    # -> seed-handoff -> shared-coreset BnB fallback.  mse 1e-4 (not the
+    # easy 1e-3): the partial views are full-overlap SUBSETS of the
+    # target cloud, so the true pose scores ~3e-5 while wrong seeding
+    # basins sit at >=4e-4 — a loose 1e-3 threshold let wrong poses
+    # CERTIFY (measured: 3 of 8 pairs, |dR| up to 0.44), and trimming a
+    # full-overlap view only displaced the trimmed optimum off the true
+    # pose.  Untrimmed + 1e-4, every certificate is the true pose and
+    # the uncertifiable pairs must take the fallback.
     b2 = 8
     mu = cloud.mean(axis=0)
     sources2, Rs2, ts2 = [], [], []
@@ -315,8 +322,7 @@ def bench_serving(lines):
         sources2.append((part[si] - t) @ R)
         Rs2.append(R)
         ts2.append(t)
-    srv2 = serving.RegistrationService(pct, mse_threshold=1e-3,
-                                       trim_fraction=0.3)
+    srv2 = serving.RegistrationService(pct, mse_threshold=1e-4)
     for i in range(2):
         t0 = time.time()
         results2 = srv2.register(np.stack(sources2))

@@ -135,6 +135,28 @@ class EngineConfig:
     icp_convergence_init: float = 0.05
     icp_convergence_bnb: float = 0.005
     icp_convergence_final: float = 0.0005
+    # Cascaded seeding (models/goicp.py:_initial_icp).  Stage 1 sweeps
+    # the 15 multi-starts at the reference's 5% cutoff
+    # (icp_convergence_init, fgoicp.cpp:12).  If that does not already
+    # certify (best sse > sse_threshold), the sweep WARM-RESTARTS at
+    # icp_seed_fine_conv: a 5% relative-improvement cutoff quits
+    # trimmed partial-overlap ICPs on their long sub-5% plateaus — on
+    # the 90-degree bun000/bun090 pair the face-center start 0.2
+    # degrees from the TRUE rotation stalled at 38x the achievable SSE
+    # and would never rank for the polish stage.  If the fine sweep
+    # still does not certify, the top icp_seed_polish_width lanes
+    # re-descend as a FULL-CLOUD trimmed ICP at icp_seed_polish_conv:
+    # the subsample/proxy search path stalls terminally on hard-pair
+    # plateaus (measured: bun090 +y90 lane 2.91 at any max_iter) while
+    # the full-cloud descent reaches the global basin (0.38 in <=300
+    # iterations) — collapsing the whole hard-pair BnB to a gap check
+    # (45 s wrong optimum -> 0.6 s true optimum).  Certifying workloads
+    # exit after stage 1 and pay nothing.
+    icp_seed_fine_conv: float = 0.001
+    icp_seed_polish: bool = True
+    icp_seed_polish_conv: float = 1e-4
+    icp_seed_polish_iters: int = 300
+    icp_seed_polish_width: int = 4
     icp_trigger_factor: float = 1.8
     # Top the triggered set up to a full icp_width ICP batch with the
     # lowest-ub children (a batched call costs the same for 1 lane or

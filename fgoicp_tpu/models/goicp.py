@@ -262,6 +262,11 @@ class GoICP:
         # callers/tests can assert certification without reaching into
         # mode-specific state (the host heap is cleared in device mode).
         self.last_certified_gap = None
+        # Min lb of terminal leaves the host loop closed (children below
+        # rotation_min_span discarded, fgoicp.cpp:53) — folded into
+        # last_certified_gap like the device loop's closed_lb so
+        # frontier exhaustion cannot masquerade as a certificate.
+        self._closed_leaf_lb = float(BIG) * 1e19   # INVALID-class
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
@@ -283,7 +288,8 @@ class GoICP:
         return self.last_rotation, self.last_translation
 
     # ------------------------------------------------------------------
-    def _icp(self, R0, t0, active, convergence, search=False):
+    def _icp(self, R0, t0, active, convergence, search=False,
+             max_iter=None):
         """Batched ICP; the returned sse is always EXACT on the full
         target (it feeds the pruning incumbent).
 
@@ -303,15 +309,16 @@ class GoICP:
                 target = self._icp_search_target
             if self._icp_search_src is not None:
                 src, trim = self._icp_search_src, self._icp_search_trim
+        mi = max_iter if max_iter is not None else self.engine.icp_max_iter
         if self.mesh is not None:
             sse, R, t = pbnb.icp_sharded(
                 self.pct, self.pcs, R0, t0, mesh=self.mesh, active=active,
-                max_iter=self.engine.icp_max_iter,
+                max_iter=mi,
                 convergence_threshold=convergence, trim_keep=self.trim_keep)
         else:
             sse, R, t = icp_model.icp_batched(
                 target, src, R0, t0, active=active,
-                max_iter=self.engine.icp_max_iter,
+                max_iter=mi,
                 convergence_threshold=convergence, trim_keep=trim)
             if target is not self.pct or src is not self.pcs:
                 sse = icp_model.exact_sse_batched(
@@ -321,7 +328,7 @@ class GoICP:
         return jax.device_get((sse, R, t))
 
     def _icp_padded(self, R0, t0, n_active, convergence, search=False,
-                    width=None):
+                    width=None, max_iter=None):
         """ICP in chunks of the fixed lane width (pads the tail with
         inactive identity lanes) so every call shares one compiled
         program regardless of candidate count.
@@ -347,12 +354,15 @@ class GoICP:
             # numpy args transfer WITH the jit dispatch; eager
             # jnp.asarray staging would be three extra tunnel roundtrips.
             sse, R, t = self._icp(Rc, tc, active, convergence,
-                                  search=search)
+                                  search=search, max_iter=max_iter)
             outs.append((sse[:k], R[:k], t[:k]))
         return tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
 
     def _initial_icp(self):
-        """Seed the incumbent with ICP (eps=0.05).
+        """Seed the incumbent with cascaded multi-start ICP (stage 1 at
+        the reference's eps=0.05; tighter warm-restart + full-cloud
+        polish stages only when uncertified — config.icp_seed_fine_conv
+        / icp_seed_polish rationale).
 
         The reference starts from identity only (fgoicp.cpp:12-14); with
         engine.icp_multi_start, one batched call additionally starts from
@@ -385,6 +395,37 @@ class GoICP:
         self.best_sse = float(sse[k])
         self.best_rotation, self.best_translation = R[k], t[k]
         self.stats.icp_runs += len(R0)
+        e = self.engine
+        if self.best_sse > self.sse_threshold and len(R0) > 1:
+            # Cascade stage 2 (config.icp_seed_fine_conv doc): the 5%
+            # cutoff quits on trimmed partial-overlap plateaus — warm-
+            # restart the sweep from the stage-1 poses with a tighter
+            # cutoff so true basins rank first.  Certifying workloads
+            # never reach this.
+            sse, R, t = self._icp_padded(
+                R, t, len(R0), e.icp_seed_fine_conv, search=True)
+            k = int(np.argmin(sse[:len(R0)]))
+            self.stats.icp_runs += len(R0)
+            if float(sse[k]) < self.best_sse:
+                self.best_sse = float(sse[k])
+                self.best_rotation, self.best_translation = R[k], t[k]
+        if e.icp_seed_polish and self.best_sse > self.sse_threshold \
+                and len(R0) > 1:
+            # Cascade stage 3 (config.icp_seed_polish doc): the search
+            # (subsample/proxy) sweep stalls terminally on hard-pair
+            # plateaus; re-descend the best fine-sweep basins on the
+            # FULL clouds with a tighter cutoff.
+            kk = np.argsort(sse[:len(R0)])[:e.icp_seed_polish_width]
+            sse2, R2, t2 = self._icp_padded(
+                R[kk], t[kk], len(kk), e.icp_seed_polish_conv,
+                search=False, width=e.icp_seed_polish_width,
+                max_iter=e.icp_seed_polish_iters)
+            k2 = int(np.argmin(sse2[:len(kk)]))
+            self.stats.icp_runs += len(kk)
+            if float(sse2[k2]) < self.best_sse:
+                self.best_sse = float(sse2[k2])
+                self.best_rotation = R2[k2]
+                self.best_translation = t2[k2]
         self._record_improvement()
         log.info(f"Initial ICP best error: {self.best_sse}",
                  "\n\tRotation:\n", R[k], "\n\tTranslation: ", t[k])
@@ -412,6 +453,11 @@ class GoICP:
             x, y, z, span, ub = item
             child_span = span / 2.0
             if child_span < self.engine.rotation_min_span:  # fgoicp.cpp:53
+                # Closing a terminal leaf: its lb keeps bounding the
+                # certificate gap (it got its one leaf-claim ICP refine
+                # at evaluation time, _refine_candidates).
+                self._closed_leaf_lb = min(self._closed_leaf_lb,
+                                           float(lb))
                 continue
             self.stats.rotation_nodes += 1
             for j in range(8):
@@ -542,7 +588,7 @@ class GoICP:
         self.stats.dropped_nodes += int(dropped)
         return R, ub, best_t, lb
 
-    def _refine_candidates(self, R, children, ub, best_t):
+    def _refine_candidates(self, R, children, ub, best_t, lb=None):
         """Batched ICP on children passing the trigger (fgoicp.cpp:74-88),
         compacted into fixed-width chunks (typically 1-2 triggers).
 
@@ -554,9 +600,26 @@ class GoICP:
         incumbent starves the 1.8x trigger and the search grinds
         cube-by-cube (measured 84 outer steps vs 6 on bunny when an
         early ICP landed at sse 10.4).  Extra refinement can only
-        improve the incumbent, never weaken the certificate."""
+        improve the incumbent, never weaken the certificate.
+
+        Terminal-leaf claim refine: a child at the finest rotation level
+        (its own children would fall below rotation_min_span and be
+        discarded, fgoicp.cpp:53) whose lb still claims an improvement
+        over the incumbent (lb < best_sse - sse_threshold) gets an ICP
+        lane REGARDLESS of its ub.  The rotation tree is finite, so a
+        subtree may only be closed once it is certified or refined; the
+        inner translation min_span floors leaf ubs (~10x the achievable
+        SSE on the 90-degree bun000/bun090 pair), so ub-ranked refine
+        alone starves exactly the basins the certificate still owes —
+        measured: the trimmed bun090 search exhausted 202 outer steps
+        and returned a wrong 'global' optimum 7.7x above the true one."""
         n = len(children)
         trigger = ub[:n] < self.best_sse * self.engine.icp_trigger_factor
+        if lb is not None and n > 0:
+            spans = np.asarray([c[3] for c in children], np.float32)
+            terminal = spans / 2.0 < self.engine.rotation_min_span
+            claim = lb[:n] < self.best_sse - self.sse_threshold
+            trigger = trigger | (terminal & claim)
         idxs = np.flatnonzero(trigger)
         self.stats.icp_triggered += int(idxs.size)
         w = self.engine.icp_width
@@ -753,7 +816,7 @@ class GoICP:
             self.stats.rotation_children += len(chunk)
             self.last_rotation = R[len(chunk) - 1]
             self.last_translation = best_t[len(chunk) - 1]
-            self._refine_candidates(R, chunk, ub, best_t)
+            self._refine_candidates(R, chunk, ub, best_t, lb=lb)
             for k, (cx, cy, cz, cspan) in enumerate(chunk):
                 if lb[k] >= self.best_sse:  # fgoicp.cpp:92
                     self.stats.rotation_pruned += 1
@@ -777,7 +840,8 @@ class GoICP:
         self.seed_heap()
         while self._heap and not self.outer_converged():
             self.outer_step()
-        self.last_certified_gap = float(self.best_sse - self.heap_min_lb())
+        self.last_certified_gap = float(
+            self.best_sse - min(self.heap_min_lb(), self._closed_leaf_lb))
         return self.best_sse
 
     # SO3State counter field -> GoICPStats field (device outer mode).
@@ -976,7 +1040,8 @@ class GoICP:
         # inherits the device incumbent, so pruning closes it fast.
         # (Host-side mirror of so3_frontier.certified_gap on the fetched
         # numpy state.)
-        floor = min(float(st.lbs[0]), float(st.dropped_lb))
+        floor = min(float(st.lbs[0]), float(st.dropped_lb),
+                    float(st.closed_lb))
         gap = -float(so3_ops.BIG) if floor >= float(so3_ops.INVALID) \
             else float(st.best_sse) - floor
         self.last_certified_gap = gap
@@ -984,13 +1049,15 @@ class GoICP:
             log.warning(
                 f"Device SO(3) search ended with an open certificate "
                 f"gap ({gap:.3g} > {self.sse_threshold:.3g}; frontier "
-                f"overflow or max_outer) — re-certifying with the host "
-                f"loop (raise engine.so3_capacity to avoid this)")
+                f"overflow, max_outer, or a closed claim leaf) — "
+                f"re-certifying with the host loop (raise "
+                f"engine.so3_capacity to avoid this)")
             self.seed_heap()
             while self._heap and not self.outer_converged():
                 self.outer_step()
             self.last_certified_gap = float(
-                self.best_sse - self.heap_min_lb())
+                self.best_sse
+                - min(self.heap_min_lb(), self._closed_leaf_lb))
         return self.best_sse
 
     # ------------------------------------------------------------------

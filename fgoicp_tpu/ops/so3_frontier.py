@@ -97,10 +97,21 @@ class SO3State(NamedTuple):
     ubs: jnp.ndarray       # [C] stored child ub (observability only)
     coords: jnp.ndarray    # [C, 3] quaternion-cube centers
     spans: jnp.ndarray     # [C] half-spans
+    ts: jnp.ndarray        # [C, 3] inner-BnB best translation per node
+    #                        (ICP start for terminal-leaf claim refines)
     best_sse: jnp.ndarray  # scalar incumbent
     best_R: jnp.ndarray    # [3, 3]
     best_t: jnp.ndarray    # [3]
     dropped_lb: jnp.ndarray   # scalar: min lb lost to frontier overflow
+    closed_lb: jnp.ndarray    # scalar: min lb of CLOSED terminal leaves
+    #   (span below rotation_min_span, subtree discarded — fgoicp.cpp:53).
+    #   Folded into certified_gap but NOT the loop condition: a leaf
+    #   cannot be expanded, so holding the loop open on it would never
+    #   terminate; the caller's re-certification fallback (goicp.py)
+    #   decides.  Without this fold, frontier exhaustion with discarded
+    #   claim leaves looked like a closed certificate (measured: the
+    #   trimmed bun000/bun090 pair returned a wrong 'global' optimum
+    #   7.7x above the true one).
     outer_steps: jnp.ndarray
     nodes_expanded: jnp.ndarray     # splittable cubes actually popped
     children_evaluated: jnp.ndarray
@@ -150,12 +161,14 @@ def initial_state(capacity: int, history_capacity: int = 32,
     return SO3State(
         lbs=lbs, ubs=_np.full((cap,), float(BIG), _np.float32),
         coords=coords, spans=spans,
+        ts=_np.zeros((cap, 3), _np.float32),
         best_sse=_np.float32(best_sse),
         best_R=_np.asarray(
             _np.eye(3) if best_R is None else best_R, _np.float32),
         best_t=_np.asarray(
             _np.zeros(3) if best_t is None else best_t, _np.float32),
         dropped_lb=_np.float32(INVALID),
+        closed_lb=_np.float32(INVALID),
         outer_steps=_np.int32(0), nodes_expanded=_np.int32(0),
         children_evaluated=_np.int32(0), inner_nodes=_np.int32(0),
         icp_runs=_np.int32(0), icp_triggered=_np.int32(0),
@@ -194,6 +207,7 @@ def merge_states(states) -> SO3State:
     ubs = _np.concatenate([_np.asarray(s.ubs) for s in states])
     coords = _np.concatenate([_np.asarray(s.coords) for s in states])
     spans = _np.concatenate([_np.asarray(s.spans) for s in states])
+    ts = _np.concatenate([_np.asarray(s.ts) for s in states])
     order = _np.argsort(lbs, kind="stable")
     dropped = min(float(s.dropped_lb) for s in states)
     spill = lbs[order[cap:]]
@@ -212,10 +226,13 @@ def merge_states(states) -> SO3State:
         ubs=_np.asarray(ubs[order], _np.float32),
         coords=_np.asarray(coords[order], _np.float32),
         spans=_np.asarray(spans[order], _np.float32),
+        ts=_np.asarray(ts[order], _np.float32),
         best_sse=_np.float32(best.best_sse),
         best_R=_np.asarray(best.best_R, _np.float32),
         best_t=_np.asarray(best.best_t, _np.float32),
         dropped_lb=_np.float32(dropped),
+        closed_lb=_np.float32(
+            min(float(s.closed_lb) for s in states)),
         outer_steps=tot("outer_steps"),
         nodes_expanded=tot("nodes_expanded"),
         children_evaluated=tot("children_evaluated"),
@@ -234,8 +251,12 @@ def certified_gap(s: SO3State):
     subtree lost to capacity overflow, whichever is lower.  A value
     <= sse_threshold means certified optimal; anything larger means the
     device search ended (overflow-bound or max_outer-truncated) without
-    a certificate and the caller must re-certify."""
-    floor = jnp.minimum(s.lbs[0], s.dropped_lb)
+    a certificate and the caller must re-certify.
+
+    closed_lb folds in terminal leaves discarded at rotation_min_span
+    (SO3State doc): their subtrees were closed after at most one
+    leaf-claim ICP refine, so only the incumbent can vouch for them."""
+    floor = jnp.minimum(jnp.minimum(s.lbs[0], s.dropped_lb), s.closed_lb)
     # An empty frontier with no drops certifies exhaustively: make that
     # explicit rather than relying on sentinel arithmetic (INVALID floor
     # would make the gap hugely negative either way, but an explicit
@@ -320,10 +341,12 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             ubs=jnp.full((cap,), BIG),
             coords=jnp.zeros((cap, 3), jnp.float32),
             spans=jnp.zeros((cap,), jnp.float32).at[0].set(1.0),
+            ts=jnp.zeros((cap, 3), jnp.float32),
             best_sse=jnp.float32(best_sse0),
             best_R=jnp.asarray(best_R0, jnp.float32),
             best_t=jnp.asarray(best_t0, jnp.float32),
             dropped_lb=INVALID,
+            closed_lb=INVALID,
             outer_steps=jnp.int32(0),
             nodes_expanded=jnp.int32(0),
             children_evaluated=jnp.int32(0),
@@ -363,9 +386,19 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         p_lb = s.lbs[:b]
         p_c = s.coords[:b]
         p_s = s.spans[:b]
+        p_t = s.ts[:b]
         p_valid = p_lb < INVALID
         ch_span = p_s / 2.0
         splittable = p_valid & (ch_span >= rotation_min_span)
+        # Terminal leaves: popped nodes whose children would fall below
+        # rotation_min_span (fgoicp.cpp:53) — their subtree closes this
+        # step.  Ones whose lb still CLAIMS an improvement beyond the
+        # termination slack get priority ICP lanes below (the host
+        # analog is goicp._refine_candidates' leaf-claim trigger);
+        # claims that cannot be given a lane this step are requeued
+        # unchanged so no claim subtree is ever closed unrefined.
+        terminal = p_valid & ~splittable
+        term_claim = terminal & (p_lb < s.best_sse - sse_threshold)
 
         ch_c, ch_s = geo.split_octree(p_c, p_s)               # [B, 8, 3]
         overlaps = geo.overlaps_so3(ch_c, ch_s)
@@ -423,11 +456,25 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         # bounded at w_icp lanes per step, module doc).  Under cube-axis
         # sharding the top-k selection is computed identically on every
         # shard (replicated `ub`); each shard refines its w_loc-lane
-        # slice and the pose results all-gather back. ----
-        _, sel = jax.lax.top_k(-ub, w_icp)                      # lowest ub
-        trig = ub[sel] < s.best_sse * jnp.float32(icp_trigger_factor)
-        sel_ok = eval_mask[sel] if icp_refine_best \
-            else (eval_mask[sel] & trig)
+        # slice and the pose results all-gather back.
+        # Candidates = popped terminal-leaf claims (ranked FIRST,
+        # regardless of ub: the inner translation min_span floors leaf
+        # ubs far above the achievable SSE, so ub-ranked selection
+        # starves exactly the basins the certificate still owes) then
+        # this step's children by lowest ub. ----
+        cand_R = jnp.concatenate([geo.quat_cube_to_matrix(p_c), R])
+        cand_t = jnp.concatenate([p_t, t_g])
+        leaf_key = jnp.where(term_claim, p_lb - BIG, BIG)       # [B]
+        child_key = jnp.where(eval_mask, ub, BIG)               # [G]
+        key = jnp.concatenate([leaf_key, child_key])            # [B+G]
+        _, sel = jax.lax.top_k(-key, w_icp)
+        trig_all = jnp.concatenate([
+            term_claim,
+            eval_mask & (ub < s.best_sse
+                         * jnp.float32(icp_trigger_factor))])
+        trig = trig_all[sel]
+        sel_ok = (key[sel] < BIG) if icp_refine_best else trig
+        got_lane = jnp.zeros((b + g,), bool).at[sel].set(sel_ok)
         if cubes_axis is None:
             sel_l, ok_l = sel, sel_ok
         else:
@@ -438,7 +485,7 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         if icp_search_target is None:
             # Iterate directly on the (possibly sharded) full target.
             sse_i, R_i, t_i = icp_model.icp_batched(
-                pct, pcs, R[sel_l], t_g[sel_l], active=ok_l,
+                pct, pcs, cand_R[sel_l], cand_t[sel_l], active=ok_l,
                 max_iter=icp_max_iter,
                 convergence_threshold=icp_convergence,
                 trim_keep=trim_keep, target_axis=points_axis,
@@ -452,7 +499,7 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             it_trim = trim_keep if icp_search_src is None \
                 else icp_search_trim
             _, R_i, t_i = icp_model.icp_batched(
-                icp_search_target, it_src, R[sel_l], t_g[sel_l],
+                icp_search_target, it_src, cand_R[sel_l], cand_t[sel_l],
                 active=ok_l, max_iter=icp_max_iter,
                 convergence_threshold=icp_convergence,
                 trim_keep=it_trim)
@@ -488,10 +535,22 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         ch_lb = jnp.where(keep_eval, lb_g,
                           jnp.where(requeue_mask, parent_lb, INVALID))
         ch_ub = jnp.where(keep_eval, ub, BIG)
-        all_lb = jnp.concatenate([s.lbs[b:], ch_lb])
-        all_ub = jnp.concatenate([s.ubs[b:], ch_ub])
-        all_c = jnp.concatenate([s.coords[b:], ch_c])
-        all_s = jnp.concatenate([s.spans[b:], ch_s])
+        ch_t = jnp.where(keep_eval[:, None], t_g, 0.0)
+        # Terminal-claim leaves that could not get an ICP lane this step
+        # (and still claim vs the UPDATED incumbent) requeue unchanged;
+        # every other popped terminal leaf closes now and folds its lb
+        # into closed_lb (certified_gap doc).
+        requeue_self = term_claim & ~got_lane[:b] \
+            & (p_lb < best_sse - sse_threshold)
+        self_lb = jnp.where(requeue_self, p_lb, INVALID)
+        self_ub = jnp.where(requeue_self, s.ubs[:b], BIG)
+        closed_now = jnp.where(terminal & ~requeue_self, p_lb, INVALID)
+        closed_lb = jnp.minimum(s.closed_lb, jnp.min(closed_now))
+        all_lb = jnp.concatenate([s.lbs[b:], ch_lb, self_lb])
+        all_ub = jnp.concatenate([s.ubs[b:], ch_ub, self_ub])
+        all_c = jnp.concatenate([s.coords[b:], ch_c, p_c])
+        all_s = jnp.concatenate([s.spans[b:], ch_s, p_s])
+        all_t = jnp.concatenate([s.ts[b:], ch_t, p_t])
         order = jnp.argsort(all_lb)
         new_lb = all_lb[order[:cap]]
         rest_lb = all_lb[order[cap:]]
@@ -500,8 +559,9 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         return SO3State(
             lbs=new_lb, ubs=all_ub[order[:cap]],
             coords=all_c[order[:cap]], spans=all_s[order[:cap]],
+            ts=all_t[order[:cap]],
             best_sse=best_sse, best_R=best_R, best_t=best_t,
-            dropped_lb=dropped_lb,
+            dropped_lb=dropped_lb, closed_lb=closed_lb,
             outer_steps=s.outer_steps + 1,
             nodes_expanded=s.nodes_expanded
             + jnp.sum(splittable, dtype=jnp.int32),
@@ -510,7 +570,7 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
             inner_nodes=s.inner_nodes + inner_ev,
             icp_runs=s.icp_runs + jnp.sum(sel_ok, dtype=jnp.int32),
             icp_triggered=s.icp_triggered
-            + jnp.sum(trig & eval_mask[sel], dtype=jnp.int32),
+            + jnp.sum(trig & sel_ok, dtype=jnp.int32),
             pruned=s.pruned + jnp.sum(eval_mask & (lb_g >= best_sse),
                                       dtype=jnp.int32),
             hist_sse=hist_sse, hist_R=hist_R, hist_t=hist_t,

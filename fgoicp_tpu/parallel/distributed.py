@@ -362,7 +362,7 @@ class MultiHostGoICP(GoICP):
         EXPAND anything, so the steal plan must not donate to it."""
         from ..ops import so3_frontier as so3
         reach = float(np.asarray(st.lbs)[0])
-        cert = min(reach, float(st.dropped_lb))
+        cert = min(reach, float(st.dropped_lb), float(st.closed_lb))
         valve_bound = int(st.outer_steps) >= self._device_valve
         idle = (reach >= float(so3.INVALID)
                 or float(st.best_sse) - reach <= self.sse_threshold
@@ -420,33 +420,35 @@ class MultiHostGoICP(GoICP):
         if plan is None:
             return st
         steal_max, donor, absorbing, n_abs = plan
-        payload = np.zeros((1 + 6 * steal_max,), np.float64)
+        payload = np.zeros((1 + 9 * steal_max,), np.float64)
         if self.comm.rank == donor:
             lbs = np.asarray(st.lbs).copy()
             ubs = np.asarray(st.ubs).copy()
             coords = np.asarray(st.coords).copy()
             spans = np.asarray(st.spans).copy()
+            ts = np.asarray(st.ts).copy()
             n_valid = int(np.sum(lbs < float(so3.INVALID)))
             n_give = min(steal_max, n_valid - 1)
             payload[0] = float(n_give)
             for i in range(n_give):
                 r = 1 + i   # row 0 = donor's best node, kept
-                payload[1 + 6 * i:7 + 6 * i] = (
+                payload[1 + 9 * i:10 + 9 * i] = (
                     lbs[r], coords[r, 0], coords[r, 1], coords[r, 2],
-                    spans[r], ubs[r])
+                    spans[r], ubs[r], ts[r, 0], ts[r, 1], ts[r, 2])
             lbs[1:1 + n_give] = float(so3.INVALID)
             ubs[1:1 + n_give] = float(so3.BIG)
             spans[1:1 + n_give] = 0.0
             order = np.argsort(lbs, kind="stable")
             st = st._replace(lbs=lbs[order], ubs=ubs[order],
-                             coords=coords[order], spans=spans[order])
+                             coords=coords[order], spans=spans[order],
+                             ts=ts[order])
             self.donated_nodes += n_give
         row = self.comm.allgather(payload, timeout=self._timeout)[donor]
         cnt = int(row[0])
         if absorbing[self.comm.rank] and cnt > 0:
             my_idx = int(np.flatnonzero(absorbing).tolist()
                          .index(self.comm.rank))
-            take = [row[1 + 6 * i:7 + 6 * i]
+            take = [row[1 + 9 * i:10 + 9 * i]
                     for i in range(cnt) if i % n_abs == my_idx]
             if take:
                 lbs = np.concatenate(
@@ -461,6 +463,9 @@ class MultiHostGoICP(GoICP):
                 spans = np.concatenate(
                     [np.asarray(st.spans),
                      np.asarray([n[4] for n in take], np.float32)])
+                ts = np.concatenate(
+                    [np.asarray(st.ts),
+                     np.asarray([n[6:9] for n in take], np.float32)])
                 cap = np.asarray(st.lbs).shape[0]
                 order = np.argsort(lbs, kind="stable")
                 dropped_lb = float(st.dropped_lb)
@@ -472,7 +477,7 @@ class MultiHostGoICP(GoICP):
                 order = order[:cap]
                 st = st._replace(
                     lbs=lbs[order], ubs=ubs[order], coords=coords[order],
-                    spans=spans[order],
+                    spans=spans[order], ts=ts[order],
                     dropped_lb=np.float32(dropped_lb))
                 self.stolen_nodes += len(take)
         return st

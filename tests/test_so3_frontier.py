@@ -9,15 +9,18 @@ import numpy as np
 from fgoicp_tpu.ops import so3_frontier as so3
 
 
-def _state(lbs0, dropped_lb, best_sse=1.0, cap=8, hist=4):
+def _state(lbs0, dropped_lb, best_sse=1.0, cap=8, hist=4,
+           closed_lb=float(so3.INVALID)):
     lbs = jnp.full((cap,), so3.INVALID).at[0].set(jnp.float32(lbs0))
     return so3.SO3State(
         lbs=lbs, ubs=jnp.full((cap,), so3.BIG),
         coords=jnp.zeros((cap, 3), jnp.float32),
         spans=jnp.zeros((cap,), jnp.float32),
+        ts=jnp.zeros((cap, 3), jnp.float32),
         best_sse=jnp.float32(best_sse), best_R=jnp.eye(3, dtype=jnp.float32),
         best_t=jnp.zeros((3,), jnp.float32),
         dropped_lb=jnp.float32(dropped_lb),
+        closed_lb=jnp.float32(closed_lb),
         outer_steps=jnp.int32(0), nodes_expanded=jnp.int32(0),
         children_evaluated=jnp.int32(0), inner_nodes=jnp.int32(0),
         icp_runs=jnp.int32(0), icp_triggered=jnp.int32(0),
@@ -82,3 +85,20 @@ def test_certified_gap_uses_frontier_floor():
 def test_certified_gap_min_of_frontier_and_dropped():
     s = _state(0.3, 0.1, best_sse=1.0)
     np.testing.assert_allclose(float(so3.certified_gap(s)), 0.9, rtol=1e-6)
+
+
+def test_certified_gap_closed_leaf_holds_gap_open():
+    """A terminal leaf closed at rotation_min_span keeps bounding the
+    gap (SO3State.closed_lb): frontier exhaustion with a discarded
+    claim leaf must NOT read as a certificate (the r5 bun090 regression
+    class)."""
+    s = _state(float(so3.INVALID), float(so3.INVALID), best_sse=1.0,
+               closed_lb=0.05)
+    np.testing.assert_allclose(float(so3.certified_gap(s)), 0.95,
+                               rtol=1e-6)
+    # ...but once the incumbent is within the slack of the closed leaf
+    # the gap closes like any other floor.
+    s2 = _state(float(so3.INVALID), float(so3.INVALID), best_sse=0.1,
+                closed_lb=0.05)
+    np.testing.assert_allclose(float(so3.certified_gap(s2)), 0.05,
+                               rtol=1e-6)
