@@ -297,14 +297,16 @@ def bench_serving(lines):
     # 0 fallbacks, so the batching-matters-most path was unmeasured):
     # half-space partial views at random poses — seeding cannot certify
     # every pair, and the uncertified ones exercise the batched-seeding
-    # -> seed-handoff -> shared-coreset BnB fallback.  mse 1e-4 (not the
-    # easy 1e-3): the partial views are full-overlap SUBSETS of the
-    # target cloud, so the true pose scores ~3e-5 while wrong seeding
-    # basins sit at >=4e-4 — a loose 1e-3 threshold let wrong poses
-    # CERTIFY (measured: 3 of 8 pairs, |dR| up to 0.44), and trimming a
-    # full-overlap view only displaced the trimmed optimum off the true
-    # pose.  Untrimmed + 1e-4, every certificate is the true pose and
-    # the uncertifiable pairs must take the fallback.
+    # -> seed-handoff -> shared-coreset BnB fallback.  mse 3.5e-4 (not
+    # the easy 1e-3): the partial views are full-overlap SUBSETS of the
+    # target cloud, so true poses score 0.9-2.9e-4 (the 6000-subsample
+    # NN floor) while wrong seeding basins sit at >=4.1e-4 — a loose
+    # 1e-3 threshold let wrong poses CERTIFY (measured: 3 of 8 pairs,
+    # |dR| up to 0.44), trimming a full-overlap view displaced the
+    # trimmed optimum off the true pose, and 1e-4 sits BELOW the floor
+    # so every fallback exhausts without certifying.  At 3.5e-4 every
+    # certificate is a true pose and the wrong-basin pairs must take
+    # the fallback (measured: 2 of 8).
     b2 = 8
     mu = cloud.mean(axis=0)
     sources2, Rs2, ts2 = [], [], []
@@ -322,7 +324,7 @@ def bench_serving(lines):
         sources2.append((part[si] - t) @ R)
         Rs2.append(R)
         ts2.append(t)
-    srv2 = serving.RegistrationService(pct, mse_threshold=1e-4)
+    srv2 = serving.RegistrationService(pct, mse_threshold=3.5e-4)
     for i in range(2):
         t0 = time.time()
         results2 = srv2.register(np.stack(sources2))
@@ -333,9 +335,11 @@ def bench_serving(lines):
              f"({b2 / wall2:.2f} pairs/s), {n_fb2} BnB fallbacks")
     ok2 = n_fb2 > 0  # the regime must actually exercise the fallback
     for r, R_true, t_true in zip(results2, Rs2, ts2):
+        # t tolerance is relative to the CLOUD SPAN, not |t_true|: the
+        # subsampled-target NN floor displaces the optimum by ~0.1 on a
+        # ~230-unit skull regardless of how small the true shift was.
         ok2 = ok2 and (np.abs(r.R - R_true).max() < 5e-3
-                       and np.abs(r.t - t_true).max()
-                       < 5e-3 * max(np.abs(t_true).max(), 1e-9))
+                       and np.abs(r.t - t_true).max() < 2e-3 * span)
     if not ok2:
         _log("serving_fallback: CHECK FAILED (need fallbacks>0 and all "
              "pairs recovered)")

@@ -234,6 +234,32 @@ class TestDeviceOuterMode:
         np.testing.assert_allclose(R, R_true, atol=1e-3)
         np.testing.assert_allclose(t, t_true, atol=1e-3)
 
+    @pytest.mark.parametrize("mode", ["host", "device"])
+    def test_exhaustion_reports_open_gap(self, mode):
+        """Soundness regression (r5 bun090 class): an UNREACHABLE mse
+        threshold forces the finite rotation tree to exhaust; closing
+        terminal leaves whose lb still claims improvement must hold
+        last_certified_gap OPEN (closed_lb / _closed_leaf_lb fold) —
+        before the fix, exhaustion read as an exhaustive certificate
+        and a wrong 'global' optimum shipped silently."""
+        rng = np.random.default_rng(21)
+        pct = _surface_cloud(rng, 160)
+        # Noisy rotated subset: achievable mse ~ noise^2 >> threshold.
+        c, s = np.cos(1.3), np.sin(1.3)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        pcs = ((pct[:120] - 0.1) @ R
+               + rng.normal(scale=0.02, size=(120, 3))).astype(np.float32)
+        m = GoICP(pct, pcs, mse_threshold=1e-9,
+                  engine=std_engine(outer_mode=mode,
+                                    rotation_min_span=0.3,
+                                    icp_trigger_factor=1.8,
+                                    icp_multi_start=False),
+                  bound_backend="exact")
+        m.run()
+        assert m.last_certified_gap is not None
+        assert m.last_certified_gap > m.sse_threshold
+        assert m.best_sse < 1e10  # still returns the best incumbent
+
     def test_device_outer_capacity_guard(self):
         import pytest
         pct, pcs, _, _ = _make_problem(seed=15, angle=0.4)
