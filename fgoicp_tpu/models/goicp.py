@@ -59,6 +59,7 @@ from ..utils import logging as log
 from . import icp as icp_model
 
 BIG = 1e10  # reference M_INF (common.hpp:18)
+NO_CLOSED_LEAF = 1e29  # _closed_leaf_lb sentinel: no terminal leaf closed
 
 
 @dataclasses.dataclass
@@ -266,7 +267,7 @@ class GoICP:
         # rotation_min_span discarded, fgoicp.cpp:53) — folded into
         # last_certified_gap like the device loop's closed_lb so
         # frontier exhaustion cannot masquerade as a certificate.
-        self._closed_leaf_lb = float(BIG) * 1e19   # INVALID-class
+        self._closed_leaf_lb = NO_CLOSED_LEAF
 
         # Static lane counts for stable jit shapes.
         self.n_groups = e.rotation_batch * 8
@@ -428,7 +429,8 @@ class GoICP:
                 self.best_translation = t2[k2]
         self._record_improvement()
         log.info(f"Initial ICP best error: {self.best_sse}",
-                 "\n\tRotation:\n", R[k], "\n\tTranslation: ", t[k])
+                 "\n\tRotation:\n", self.best_rotation,
+                 "\n\tTranslation: ", self.best_translation)
 
     def _final_icp(self):
         """ICP polish, eps=0.0005 (fgoicp.cpp:22-23)."""
@@ -449,13 +451,22 @@ class GoICP:
         stale parent bounds (fgoicp.cpp:50-66).
         """
         eval_list = []
+        unrefined = []
         for (lb, _, item) in popped:
             x, y, z, span, ub = item
             child_span = span / 2.0
             if child_span < self.engine.rotation_min_span:  # fgoicp.cpp:53
                 # Closing a terminal leaf: its lb keeps bounding the
-                # certificate gap (it got its one leaf-claim ICP refine
-                # at evaluation time, _refine_candidates).
+                # certificate gap.  Evaluated leaves (center inside
+                # SO(3)) got their leaf-claim ICP refine at evaluation
+                # time (_refine_candidates); outside-center requeue-
+                # quirk leaves were NEVER evaluated — give a claiming
+                # one its refine now (from the cube-center best-effort
+                # rotation, t0=0, like the multi-start sweep) before
+                # the subtree closes.
+                if (x * x + y * y + z * z > 1.0
+                        and lb < self.best_sse - self.sse_threshold):
+                    unrefined.append((x, y, z))
                 self._closed_leaf_lb = min(self._closed_leaf_lb,
                                            float(lb))
                 continue
@@ -477,6 +488,19 @@ class GoICP:
                                                 (cx, cy, cz, child_span, ub)))
                     continue
                 eval_list.append((cx, cy, cz, child_span))
+        if unrefined:
+            R0 = np.asarray(geo.quat_cube_to_matrix(
+                jnp.asarray(np.asarray(unrefined, np.float32))))
+            t0 = np.zeros((len(R0), 3), np.float32)
+            sse, Ri, ti = self._icp_padded(
+                R0, t0, len(R0), self.engine.icp_convergence_bnb,
+                search=True)
+            self.stats.icp_runs += len(R0)
+            k = int(np.argmin(sse[:len(R0)]))
+            if float(sse[k]) < self.best_sse:
+                self.best_sse = float(sse[k])
+                self.best_rotation, self.best_translation = Ri[k], ti[k]
+                self._record_improvement()
         return eval_list
 
     @staticmethod
@@ -659,7 +683,8 @@ class GoICP:
             best_sse=self.best_sse, best_rotation=self.best_rotation,
             best_translation=self.best_translation,
             stats=dataclasses.asdict(self.stats),
-            fingerprint=self._fingerprint)
+            fingerprint=self._fingerprint,
+            closed_leaf_lb=self._closed_leaf_lb)
 
     def load_checkpoint(self, path: str):
         """Restore a checkpoint saved against the same cloud pair; the next
@@ -672,8 +697,7 @@ class GoICP:
         if self.engine.outer_mode == "device":
             st = ckpt.load_device_state(path, fingerprint=self._fingerprint)
             from ..ops import so3_frontier as so3_ops
-            state = so3_ops.SO3State(**{
-                f: st["state_arrays"][f] for f in so3_ops.SO3State._fields})
+            state = so3_ops.state_from_arrays(st["state_arrays"])
             self._resumed_so3_state = state
             self.best_sse = float(state.best_sse)
             self.best_rotation = np.asarray(state.best_R)
@@ -690,6 +714,8 @@ class GoICP:
         self.stats = GoICPStats(**st["stats"])
         self._tie = itertools.count(st["tie"])
         self._resumed_heap = st["heap"]
+        self._closed_leaf_lb = min(self._closed_leaf_lb,
+                                   st["closed_leaf_lb"])
         log.info(f"Resumed checkpoint {path}: best_sse={self.best_sse}, "
                  f"{len(self._resumed_heap)} frontier nodes")
 
@@ -726,9 +752,7 @@ class GoICP:
             for p in paths:
                 st = ckpt.load_device_state(
                     p, fingerprint=self._fingerprint)
-                states.append(so3_ops.SO3State(**{
-                    f: st["state_arrays"][f]
-                    for f in so3_ops.SO3State._fields}))
+                states.append(so3_ops.state_from_arrays(st["state_arrays"]))
                 stats = merge_stats(stats, st["stats"])
             merged = so3_ops.merge_states(states)
             self._resumed_so3_state = merged
@@ -743,6 +767,8 @@ class GoICP:
         best = (BIG, None, None)
         for p in paths:
             st = ckpt.load(p, fingerprint=self._fingerprint)
+            self._closed_leaf_lb = min(self._closed_leaf_lb,
+                                       st["closed_leaf_lb"])
             for lb, _t, node in st["heap"]:
                 heap.append((lb, tie, node))
                 tie += 1

@@ -180,6 +180,22 @@ def initial_state(capacity: int, history_capacity: int = 32,
         hist_len=_np.int32(0))
 
 
+def state_from_arrays(arrays: dict) -> SO3State:
+    """Build an SO3State from a checkpoint's field->array dict.
+
+    Fields added after the checkpoint was written get SOUND defaults
+    (ts=0 — leaf refines start from the cube origin; closed_lb=INVALID
+    — no leaf had been closed when older code wrote the state), so
+    pre-r5 device checkpoints keep loading instead of raising KeyError.
+    """
+    import numpy as _np
+    a = dict(arrays)
+    cap = _np.asarray(a["lbs"]).shape[0]
+    a.setdefault("ts", _np.zeros((cap, 3), _np.float32))
+    a.setdefault("closed_lb", _np.float32(INVALID))
+    return SO3State(**{f: a[f] for f in SO3State._fields})
+
+
 def merge_states(states) -> SO3State:
     """Merge several SO3States — one per host of a partitioned run —
     into one HOST (numpy) state for elastic recovery
@@ -535,7 +551,13 @@ def so3_bnb_device(backend, pct, pcs, search_pcs, best_sse0, best_R0,
         ch_lb = jnp.where(keep_eval, lb_g,
                           jnp.where(requeue_mask, parent_lb, INVALID))
         ch_ub = jnp.where(keep_eval, ub, BIG)
-        ch_t = jnp.where(keep_eval[:, None], t_g, 0.0)
+        # Requeued outside-SO(3) children inherit the PARENT's inner
+        # translation along with its lb — their eventual terminal-leaf
+        # claim refine must not start from t=0 on translated pairs.
+        parent_t = jnp.broadcast_to(p_t[:, None, :], (b, 8, 3)) \
+            .reshape(g, 3)
+        ch_t = jnp.where(keep_eval[:, None], t_g,
+                         jnp.where(requeue_mask[:, None], parent_t, 0.0))
         # Terminal-claim leaves that could not get an ICP lane this step
         # (and still claim vs the UPDATED incumbent) requeue unchanged;
         # every other popped terminal leaf closes now and folds its lb

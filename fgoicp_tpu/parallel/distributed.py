@@ -243,7 +243,13 @@ class MultiHostGoICP(GoICP):
     def _message(self) -> np.ndarray:
         msg = np.empty((_MSG_LEN,), np.float64)
         msg[0] = self.best_sse
-        msg[1] = self.heap_min_lb()
+        # The certificate floor, not just the heap minimum: terminal
+        # leaves this host already closed (goicp._closed_leaf_lb) keep
+        # bounding the gap — without the fold, every rank's exhausted
+        # heap read as BIG and frontier exhaustion converged with a
+        # fake certificate (the single-host r5 bun090 bug, multi-host
+        # edition).
+        msg[1] = min(self.heap_min_lb(), self._closed_leaf_lb)
         msg[2] = 1.0 if self._locally_idle() else 0.0
         msg[3:12] = np.asarray(self.best_rotation, np.float64).reshape(9)
         msg[12:15] = np.asarray(self.best_translation, np.float64)
@@ -279,6 +285,21 @@ class MultiHostGoICP(GoICP):
         self.last_certified_gap = gmin - global_min_lb
         converged = gmin - global_min_lb <= self.sse_threshold
         if not converged:
+            # Exhaustion stall: every heap empty and every host idle —
+            # no step can ever change the matrix (the open floor comes
+            # from CLOSED leaves, which cannot be expanded).  Terminate
+            # with the gap honestly OPEN rather than livelocking; a
+            # pure function of the gathered matrix, so all ranks exit
+            # the collective together.
+            if bool(np.all(gathered[:, 15] < 0.5)) \
+                    and bool(np.all(gathered[:, 2] > 0.5)):
+                log.warning(
+                    f"Multi-host search exhausted with an OPEN "
+                    f"certificate gap ({self.last_certified_gap:.3g} > "
+                    f"{self.sse_threshold:.3g}): closed terminal "
+                    f"leaves bound it; result is the best incumbent "
+                    f"WITHOUT an optimality certificate")
+                return True
             self._maybe_steal(gathered)
         return converged
 

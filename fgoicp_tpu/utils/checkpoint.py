@@ -40,10 +40,14 @@ def cloud_fingerprint(pct: np.ndarray, pcs: np.ndarray) -> str:
 
 
 def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
-         best_translation, stats: dict, fingerprint: str) -> None:
+         best_translation, stats: dict, fingerprint: str,
+         closed_leaf_lb: float = 1e29) -> None:
     """Atomically write the search state.
 
     heap: list of (lb, tie, (x, y, z, span, ub)) outer-frontier entries.
+    closed_leaf_lb: min lb of terminal leaves the host loop already
+    closed (goicp._closed_leaf_lb; 1e29 sentinel = none) — without it a
+    resumed search would read exhaustion as an exhaustive certificate.
     """
     n = len(heap)
     lbs = np.empty((n,), np.float64)
@@ -62,6 +66,7 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
         "best_sse": np.float64(best_sse),
         "best_rotation": np.asarray(best_rotation, np.float64),
         "best_translation": np.asarray(best_translation, np.float64),
+        "closed_leaf_lb": np.float64(closed_leaf_lb),
         "stats_json": np.bytes_(json.dumps(stats).encode()),
     }
     _atomic_savez(path, payload)
@@ -153,5 +158,8 @@ def load(path: str, *, fingerprint: str) -> dict:
             "best_sse": float(z["best_sse"]),
             "best_rotation": np.asarray(z["best_rotation"], np.float32),
             "best_translation": np.asarray(z["best_translation"], np.float32),
+            # pre-r5 checkpoints lack the field; 1e29 = no closed leaves
+            "closed_leaf_lb": (float(z["closed_leaf_lb"])
+                               if "closed_leaf_lb" in z.files else 1e29),
             "stats": json.loads(bytes(z["stats_json"]).decode()),
         }

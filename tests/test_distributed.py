@@ -108,6 +108,70 @@ def test_multihost_imbalanced_hosts_ksync_and_stealing():
     assert donated == stolen  # every donated node lands in exactly one heap
 
 
+def test_multihost_exhaustion_reports_open_gap():
+    """Multi-host edition of the r5 bun090 regression class: with an
+    UNREACHABLE threshold every rank's finite rotation tree exhausts;
+    the wire must carry each rank's closed-leaf floor (msg[1]) so the
+    run terminates via the exhaustion-stall exit with the certified
+    gap honestly OPEN on every rank — not a fake exhaustive
+    certificate."""
+    rng = np.random.default_rng(33)
+    pct = _surface_cloud(rng, 150)
+    c, s = np.cos(1.3), np.sin(1.3)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    pcs = ((pct[:100] - 0.1) @ R
+           + rng.normal(scale=0.02, size=(100, 3))).astype(np.float32)
+    comms = dist.ThreadCommunicator.create(2)
+    models = [None, None]
+    errors = []
+
+    def host(rank):
+        try:
+            m = dist.MultiHostGoICP(
+                pct, pcs, comms[rank], mse_threshold=1e-9,
+                engine=std_engine(rotation_min_span=0.3,
+                                  icp_trigger_factor=1.8,
+                                  icp_multi_start=False),
+                bound_backend="exact")
+            models[rank] = m
+            m.run()
+        except Exception as e:  # pragma: no cover
+            errors.append((rank, e))
+
+    threads = [threading.Thread(target=host, args=(r,)) for r in (0, 1)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(timeout=600)
+    assert not errors, errors
+    assert all(m is not None for m in models), "a host deadlocked"
+    for m in models:
+        assert m.last_certified_gap is not None
+        assert m.last_certified_gap > m.sse_threshold
+        assert m.best_sse < 1e10
+    # the gap is a pure function of the shared matrix: ranks agree
+    assert models[0].last_certified_gap == models[1].last_certified_gap
+
+
+def test_host_checkpoint_roundtrips_closed_leaf_floor(tmp_path):
+    """_closed_leaf_lb survives save/load: a resumed exhausted search
+    must not forget the leaves the dead process already closed."""
+    pct, pcs, _, _ = _problem()
+    m = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+              bound_backend="exact")
+    m.best_sse = 3.0
+    m.best_rotation = np.eye(3, dtype=np.float32)
+    m.best_translation = np.zeros(3, np.float32)
+    m.seed_heap()
+    m._closed_leaf_lb = 0.125
+    p = str(tmp_path / "ck.npz")
+    m.save_checkpoint(p)
+    m2 = GoICP(pct, pcs, mse_threshold=5e-4, engine=std_engine(),
+               bound_backend="exact")
+    m2.load_checkpoint(p)
+    assert m2._closed_leaf_lb == 0.125
+
+
 def test_work_stealing_transfers_nodes():
     """Deterministic stealing mechanics: a busy host with 5 frontier
     nodes and an empty idle host — one _maybe_steal round must move
