@@ -15,7 +15,10 @@ Semantics parity with the host loop (and thus with the reference,
 /root/reference/fgoicp/fgoicp.cpp:32-100):
   * best-first pop of `rotation_batch` cubes per outer iteration;
   * octree split, min-span cutoff (children below rotation_min_span are
-    dropped WITH their parent, fgoicp.cpp:53);
+    dropped WITH their parent, fgoicp.cpp:53 — but unlike the
+    reference, a popped terminal leaf still CLAIMING improvement gets
+    a priority ICP lane before closing, and every closed leaf's lb
+    folds into closed_lb so exhaustion cannot fake a certificate);
   * SO(3) membership tests: children overlapping-but-outside re-enter
     the frontier with the parent's lb, unevaluated (reference quirk,
     fgoicp.cpp:61-66); non-overlapping children are discarded;
