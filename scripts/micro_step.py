@@ -19,15 +19,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, reps=3):
+def _force(out):
+    """Force a VALUE fetch: jax.block_until_ready does not reliably
+    block through the axon tunnel (CLAUDE.md) — timings based on it
+    under-report by the unflushed tail of the async queue."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    leaves = jax.tree.leaves(out)
+    import numpy as np_
+    return float(np_.asarray(leaves[0]).ravel()[0])
+
+
+def timeit(fn, *args, reps=3):
+    _force(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         best = min(best, time.time() - t0)
     return best
 
@@ -94,20 +101,28 @@ def main():
     # (b) full pooled steps, pruning disabled by a huge incumbent and a
     # tiny min_span (children always spawn until max_steps).
     def pooled(ms):
-        # min_span=0: spans halve forever (no drain before max_steps).
-        # sse_threshold=-1: the gap check (best_err - minlb < thr) can
-        # never pass, so EVERY step up to max_steps does real work — with
-        # a positive threshold the groups converge once spans shrink and
-        # the finite difference below measures converged no-op exits.
+        # min_span=0 + sse_threshold=-1 disable the USUAL exits, but the
+        # pool still drains around step ~50: spans halve every
+        # generation, groups converge EXACTLY (lb == ub == best_err),
+        # every child is dominated, and emptied groups deactivate.  The
+        # finite difference must therefore stay BELOW the drain point —
+        # the original 40-vs-80 difference only measured 11 live steps
+        # and under-reported the per-step cost ~4x.
         return pool_frontier.bnb_r3_pooled(
             backend, pcs, R, spans, fix, jnp.float32(1e12),
             jnp.float32(-1.0), min_span=0.0, lanes=args.lanes,
             capacity=args.capacity, max_steps=ms,
             pool_update=args.pool_update)
 
-    w = timeit(pooled, args.steps)
-    w2 = timeit(pooled, 2 * args.steps)
-    per_step = (w2 - w) / args.steps
+    lo, hi = args.steps, 2 * args.steps
+    ran = int(pooled(hi).steps)
+    if ran < hi:
+        print(f"WARNING: pool drains at step {ran} < {hi}; pass "
+              f"--steps <= {max(1, ran // 2)} for a valid difference",
+              file=sys.stderr)
+    w = timeit(pooled, lo)
+    w2 = timeit(pooled, hi)
+    per_step = (w2 - w) / max(1, min(ran, hi) - min(ran, lo))
     print(f"pooled/step: {per_step * 1e3:.2f} ms -> scheduler overhead "
           f"{(per_step - per_kernel) * 1e3:.2f} ms/step")
 
