@@ -315,7 +315,8 @@ def bench_serving(lines):
         nrm = rng2.normal(size=3)
         nrm /= np.linalg.norm(nrm)
         part = cloud[(cloud - mu) @ nrm > 0]
-        si = rng2.choice(len(part), size=6000, replace=False)
+        si = rng2.choice(len(part), size=min(6000, len(part)),
+                         replace=False)
         q, _ = np.linalg.qr(rng2.normal(size=(3, 3)))
         R = (q * np.sign(np.diag(q))[None, :]).astype(np.float32)
         if np.linalg.det(R) < 0:

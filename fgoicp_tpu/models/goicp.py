@@ -402,11 +402,25 @@ class GoICP:
             # cutoff quits on trimmed partial-overlap plateaus — warm-
             # restart the sweep from the stage-1 poses with a tighter
             # cutoff so true basins rank first.  Certifying workloads
-            # never reach this.
+            # never reach this.  A seed-pose run (serving fallback)
+            # widens back to the FULL multi-start set here: the pair is
+            # in fallback precisely because the batch sweep's winner
+            # was wrong, so warm-restarting only that wrong basin (+
+            # identity) would skip the very starts the cascade rescues
+            # hard pairs with.
+            if self._seed_pose is not None and e.icp_multi_start:
+                starts = geo.multi_start_cube_coords()
+                R = np.concatenate([
+                    np.asarray(R[:len(R0)], np.float32),
+                    np.asarray(geo.quat_cube_to_matrix(
+                        jnp.asarray(starts)))])
+                t = np.concatenate([
+                    np.asarray(t[:len(R0)], np.float32),
+                    np.zeros((len(starts), 3), np.float32)])
             sse, R, t = self._icp_padded(
-                R, t, len(R0), e.icp_seed_fine_conv, search=True)
-            k = int(np.argmin(sse[:len(R0)]))
-            self.stats.icp_runs += len(R0)
+                R, t, len(R), e.icp_seed_fine_conv, search=True)
+            k = int(np.argmin(sse[:len(R)]))
+            self.stats.icp_runs += len(R)
             if float(sse[k]) < self.best_sse:
                 self.best_sse = float(sse[k])
                 self.best_rotation, self.best_translation = R[k], t[k]
@@ -416,7 +430,7 @@ class GoICP:
             # (subsample/proxy) sweep stalls terminally on hard-pair
             # plateaus; re-descend the best fine-sweep basins on the
             # FULL clouds with a tighter cutoff.
-            kk = np.argsort(sse[:len(R0)])[:e.icp_seed_polish_width]
+            kk = np.argsort(sse[:len(R)])[:e.icp_seed_polish_width]
             sse2, R2, t2 = self._icp_padded(
                 R[kk], t[kk], len(kk), e.icp_seed_polish_conv,
                 search=False, width=e.icp_seed_polish_width,
@@ -453,7 +467,12 @@ class GoICP:
         eval_list = []
         unrefined = []
         for (lb, _, item) in popped:
-            x, y, z, span, ub = item
+            x, y, z, span, ub = item[:5]
+            # Nodes carry their inner-BnB best translation (items 5:8;
+            # resumed pre-r5 checkpoints lack it -> t=0, the multi-start
+            # sweep's own start).
+            t_item = tuple(item[5:8]) if len(item) >= 8 \
+                else (0.0, 0.0, 0.0)
             child_span = span / 2.0
             if child_span < self.engine.rotation_min_span:  # fgoicp.cpp:53
                 # Closing a terminal leaf: its lb keeps bounding the
@@ -466,7 +485,7 @@ class GoICP:
                 # the subtree closes.
                 if (x * x + y * y + z * z > 1.0
                         and lb < self.best_sse - self.sse_threshold):
-                    unrefined.append((x, y, z))
+                    unrefined.append((x, y, z) + t_item)
                 self._closed_leaf_lb = min(self._closed_leaf_lb,
                                            float(lb))
                 continue
@@ -483,15 +502,17 @@ class GoICP:
                     continue
                 if r2 > 1.0:
                     # Overlapping but center outside SO(3): requeue with
-                    # inherited parent bounds, unevaluated (ref quirk).
+                    # inherited parent bounds (and the parent's inner
+                    # translation), unevaluated (ref quirk).
                     heapq.heappush(self._heap, (lb, next(self._tie),
-                                                (cx, cy, cz, child_span, ub)))
+                                                (cx, cy, cz, child_span,
+                                                 ub) + t_item))
                     continue
                 eval_list.append((cx, cy, cz, child_span))
         if unrefined:
-            R0 = np.asarray(geo.quat_cube_to_matrix(
-                jnp.asarray(np.asarray(unrefined, np.float32))))
-            t0 = np.zeros((len(R0), 3), np.float32)
+            arr = np.asarray(unrefined, np.float32)
+            R0 = np.asarray(geo.quat_cube_to_matrix(jnp.asarray(arr[:, :3])))
+            t0 = arr[:, 3:6]
             sse, Ri, ti = self._icp_padded(
                 R0, t0, len(R0), self.engine.icp_convergence_bnb,
                 search=True)
@@ -814,7 +835,8 @@ class GoICP:
             for (x, y, z, span) in self.root_nodes():
                 heapq.heappush(
                     self._heap,
-                    (0.0, next(self._tie), (x, y, z, span, self.best_sse)))
+                    (0.0, next(self._tie),
+                     (x, y, z, span, self.best_sse, 0.0, 0.0, 0.0)))
 
     def heap_min_lb(self) -> float:
         """Lowest unexplored lower bound (the local optimality gap floor)."""
@@ -850,7 +872,9 @@ class GoICP:
                 heapq.heappush(
                     self._heap,
                     (float(lb[k]), next(self._tie),
-                     (cx, cy, cz, cspan, float(ub[k]))))
+                     (cx, cy, cz, cspan, float(ub[k]),
+                      float(best_t[k][0]), float(best_t[k][1]),
+                      float(best_t[k][2]))))
         self.stats.outer_steps += 1
         self._maybe_checkpoint()
         if e.debug_checks:

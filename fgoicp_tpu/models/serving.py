@@ -24,8 +24,10 @@ registers a whole batch of source clouds per call:
      full BnB run would exit with immediately.
   3. **BnB fallback** — pairs the gap check leaves open run the full
      nested branch-and-bound (models/goicp.py) individually, inheriting
-     nothing (GoICP re-seeds; its multi-start usually re-lands the
-     basin and prunes from there).
+     the batch's seeding pose (seed handoff) and ONE shared FPS coreset
+     of the target; if the handed-off seed does not certify, GoICP's
+     cascaded seeding widens back to the full multi-start set before
+     the BnB does any work.
 
 Scaling: pairs are embarrassingly parallel — with a mesh, the batch
 axis shards over the `cubes` mesh axis via shard_map (each device seeds
@@ -136,8 +138,20 @@ def _seed_pairs(pct_c, icp_target, sources, starts_R, convergence,
     # basin — the exact rescore, the full-source polish, and the
     # certificate all run on the full clouds, so the subsample can only
     # affect WHICH start wins, never the validity of the result.
-    src_seed = src_c if seed_idx is None else src_c[:, seed_idx]
-    w_seed = w if seed_idx is None or w is None else w[:, seed_idx]
+    if seed_idx is None:
+        src_seed, w_seed = src_c, w
+    elif jnp.asarray(seed_idx).ndim == 1:
+        src_seed = src_c[:, seed_idx]
+        w_seed = None if w is None else w[:, seed_idx]
+    else:
+        # [B, S] per-pair indices: ragged batches must sample each
+        # pair's REAL rows — a shared subsample drawn from the padded
+        # range seeds small clouds on mostly zero-weight padding (and
+        # can draw an all-padding subsample: zero total weight => NaN
+        # Procrustes poses).
+        idx = jnp.asarray(seed_idx)
+        src_seed = jnp.take_along_axis(src_c, idx[:, :, None], axis=1)
+        w_seed = None if w is None else jnp.take_along_axis(w, idx, axis=1)
     seed_trim = trim_keep
     if trim_keep is not None and seed_idx is not None:
         seed_trim = max(1, int(round(src_seed.shape[1] * trim_keep / ns)))
@@ -197,7 +211,8 @@ class RegistrationService:
     def __init__(self, target, mse_threshold: float = 1e-3,
                  engine: Optional[EngineConfig] = None,
                  proxy_size: int = 4096, trim_fraction: float = 0.0,
-                 seed_subsample: int = 2048, mesh=None):
+                 seed_subsample: int = 2048, mesh=None,
+                 fallback_proxy_size: Optional[int] = None):
         self.engine = engine or EngineConfig()
         target = np.asarray(target, np.float32)
         if target.ndim != 2 or target.shape[1] != 3:
@@ -208,7 +223,14 @@ class RegistrationService:
         self.nt = len(target)
         self.mse_threshold = float(mse_threshold)
         self.trim_fraction = float(trim_fraction)
+        # proxy_size sizes the SEEDING ICP iteration target (bigger =
+        # better correspondences for the B*S-lane sweep); the BnB
+        # fallback's BOUND proxy defaults to the engine's measured knee
+        # (1024, goicp.py rationale) and has its own knob.
         self.proxy_size = int(proxy_size)
+        self.fallback_proxy_size = int(
+            fallback_proxy_size if fallback_proxy_size is not None
+            else 1024)
         # Seeding-phase source subsample size (0 = full source): the
         # B*S-lane seeding only has to FIND each pair's basin; rescore,
         # polish, and the certificate run on the full clouds
@@ -250,9 +272,24 @@ class RegistrationService:
                  else len(sources[0]))
         seed_idx = None
         if 0 < self.seed_subsample < ns:
-            seed_idx = np.random.default_rng(
-                self.engine.seed + 7).permutation(ns)[
-                :self.seed_subsample].astype(np.int32)
+            rng = np.random.default_rng(self.engine.seed + 7)
+            if point_weights is None:
+                seed_idx = rng.permutation(ns)[
+                    :self.seed_subsample].astype(np.int32)
+            else:
+                # Ragged: per-pair subsample over each pair's REAL rows
+                # (the prefix — padding repeats row 0 with weight 0).
+                # Pairs smaller than the subsample tile their rows:
+                # uniform over-weighting cannot bias the seed, and the
+                # exact rescore/polish run on the true weights.
+                s_sub = self.seed_subsample
+                rows = []
+                for wrow in np.asarray(point_weights):
+                    n_real = max(1, int(round(float(wrow.sum()))))
+                    perm = rng.permutation(n_real)
+                    reps = -(-s_sub // n_real)
+                    rows.append(np.tile(perm, reps)[:s_sub])
+                seed_idx = np.stack(rows).astype(np.int32)
         kw = dict(seed_idx=seed_idx, trim_keep=trim_keep,
                   max_iter=self.engine.icp_max_iter, rescore=self._rescore)
         if self.mesh is None:
@@ -274,6 +311,22 @@ class RegistrationService:
         if point_weights is None:
             shard = functools.partial(_seed_pairs, **kw)
             specs = (P(), P(), P(psh.CUBES_AXIS), P(), P(), P())
+        elif isinstance(seed_idx, np.ndarray) and seed_idx.ndim == 2:
+            # Per-pair (ragged) subsample rides the batch axis: a
+            # closure constant would pair shard-local sources with the
+            # GLOBAL index matrix.
+            if pad:
+                seed_idx = np.concatenate(
+                    [seed_idx, np.repeat(seed_idx[:1], pad, axis=0)])
+            kw2 = {k: v for k, v in kw.items() if k != "seed_idx"}
+            shard = functools.partial(
+                lambda *a, **k: _seed_pairs(
+                    *a[:-2], point_weights=a[-2], seed_idx=a[-1], **k),
+                **kw2)
+            specs = (P(), P(), P(psh.CUBES_AXIS), P(), P(), P(),
+                     P(psh.CUBES_AXIS), P(psh.CUBES_AXIS))
+            args = args + (np.asarray(point_weights, np.float32),
+                           seed_idx)
         else:
             shard = functools.partial(
                 lambda *a, **k: _seed_pairs(
@@ -299,7 +352,8 @@ class RegistrationService:
         from .goicp import GoICP
         if self._fallback_proxy is None:
             self._fallback_proxy = coreset_ops.build(
-                self.pct_c, size=1024, seed=self.engine.seed)
+                self.pct_c, size=self.fallback_proxy_size,
+                seed=self.engine.seed)
         seed_kw = {}
         if seed_pose is not None:
             R_s, t_s, mu_s = seed_pose
@@ -373,10 +427,12 @@ class RegistrationService:
         trim_keep = (None if self.trim_fraction <= 0.0 else
                      max(1, int(round(ns * (1.0 - self.trim_fraction)))))
         # Per-pair certificate threshold: the engine's rule is
-        # SSE <= ns * mse (fgoicp.hpp:23); trimmed runs certify against
-        # the trimmed objective's own count.
-        thr = (ns_real if trim_keep is None
-               else np.full_like(ns_real, trim_keep)) * self.mse_threshold
+        # SSE <= ns * mse (fgoicp.hpp:23) — for trimmed runs TOO, so
+        # the seeding path certifies exactly the SSE its own GoICP
+        # fallback would (a trim_keep*mse rule here made borderline
+        # trimmed pairs pay a full BnB fallback that then certified the
+        # same pose under the engine's looser ns*mse rule).
+        thr = ns_real * self.mse_threshold
 
         t0 = time.time()
         sse_c, R_b, t_b, scale, mu_s = self._seed_call(

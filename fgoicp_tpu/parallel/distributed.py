@@ -285,14 +285,16 @@ class MultiHostGoICP(GoICP):
         self.last_certified_gap = gmin - global_min_lb
         converged = gmin - global_min_lb <= self.sse_threshold
         if not converged:
-            # Exhaustion stall: every heap empty and every host idle —
-            # no step can ever change the matrix (the open floor comes
-            # from CLOSED leaves, which cannot be expanded).  Terminate
-            # with the gap honestly OPEN rather than livelocking; a
-            # pure function of the gathered matrix, so all ranks exit
-            # the collective together.
-            if bool(np.all(gathered[:, 15] < 0.5)) \
-                    and bool(np.all(gathered[:, 2] > 0.5)):
+            # Exhaustion stall: EVERY host idle (locally converged or
+            # empty) while closed-leaf floors hold the global gap open.
+            # No step can ever change the matrix — locally-converged
+            # heaps only hold nodes within their local gap, so stealing
+            # them cannot un-idle anyone, and closed leaves cannot be
+            # expanded.  Terminate with the gap honestly OPEN rather
+            # than livelocking (a pure function of the gathered matrix,
+            # so all ranks exit the collective together; the device
+            # path's 'stalled' exit uses the same all-idle rule).
+            if bool(np.all(gathered[:, 2] > 0.5)):
                 log.warning(
                     f"Multi-host search exhausted with an OPEN "
                     f"certificate gap ({self.last_certified_gap:.3g} > "
@@ -316,15 +318,16 @@ class MultiHostGoICP(GoICP):
         if plan is None:
             return
         steal_max, donor, absorbing, n_abs = plan
-        payload = np.zeros((1 + 6 * steal_max,), np.float64)
+        payload = np.zeros((1 + 9 * steal_max,), np.float64)
         if self.comm.rank == donor:
             n_give = min(steal_max, len(self._heap) - 1)
             top = heapq.heappop(self._heap)  # donor keeps its best node
             give = [heapq.heappop(self._heap) for _ in range(n_give)]
             heapq.heappush(self._heap, top)
             payload[0] = float(n_give)
-            for i, (lb, _, (x, y, z, span, ub)) in enumerate(give):
-                payload[1 + 6 * i:7 + 6 * i] = (lb, x, y, z, span, ub)
+            for i, (lb, _, item) in enumerate(give):
+                row8 = tuple(item) + (0.0,) * max(0, 8 - len(item))
+                payload[1 + 9 * i:10 + 9 * i] = (lb,) + row8
             self.donated_nodes += n_give
         row = self.comm.allgather(payload, timeout=self._timeout)[donor]
         cnt = int(row[0])
@@ -334,11 +337,11 @@ class MultiHostGoICP(GoICP):
             for i in range(cnt):
                 if i % n_abs != my_idx:
                     continue
-                lb, x, y, z, span, ub = row[1 + 6 * i:7 + 6 * i]
+                vals = row[1 + 9 * i:10 + 9 * i]
                 heapq.heappush(
                     self._heap,
-                    (float(lb), next(self._tie),
-                     (float(x), float(y), float(z), float(span), float(ub))))
+                    (float(vals[0]), next(self._tie),
+                     tuple(float(v) for v in vals[1:9])))
                 self.stolen_nodes += 1
 
     def _steal_plan(self, gathered: np.ndarray):

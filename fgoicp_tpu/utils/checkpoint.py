@@ -44,7 +44,10 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
          closed_leaf_lb: float = 1e29) -> None:
     """Atomically write the search state.
 
-    heap: list of (lb, tie, (x, y, z, span, ub)) outer-frontier entries.
+    heap: list of (lb, tie, (x, y, z, span, ub, tx, ty, tz))
+    outer-frontier entries (the translation triple is the node's inner
+    best — ICP starts for leaf-claim refines; 5-tuple items from older
+    code pad with zeros).
     closed_leaf_lb: min lb of terminal leaves the host loop already
     closed (goicp._closed_leaf_lb; 1e29 sentinel = none) — without it a
     resumed search would read exhaustion as an exhaustive certificate.
@@ -52,11 +55,11 @@ def save(path: str, *, heap, tie: int, best_sse: float, best_rotation,
     n = len(heap)
     lbs = np.empty((n,), np.float64)
     ties = np.empty((n,), np.int64)
-    nodes = np.empty((n, 5), np.float64)
+    nodes = np.zeros((n, 8), np.float64)
     for i, (lb, t_, item) in enumerate(heap):
         lbs[i] = lb
         ties[i] = t_
-        nodes[i] = item
+        nodes[i, :len(item)] = item
     payload = {
         "version": np.int64(FORMAT_VERSION),
         "kind": np.bytes_(b"host_heap"),
@@ -148,7 +151,11 @@ def load(path: str, *, fingerprint: str) -> dict:
     with np.load(path) as z:
         _check_header(z, fingerprint, "host_heap")
         heap = [
-            (float(lb), int(t_), tuple(float(v) for v in node))
+            # pre-r5 checkpoints stored 5-wide nodes (no per-node
+            # translation); pad with zeros.
+            (float(lb), int(t_),
+             tuple(float(v) for v in node)
+             + (0.0,) * max(0, 8 - len(node)))
             for lb, t_, node in zip(z["heap_lbs"], z["heap_ties"],
                                     z["heap_nodes"])
         ]

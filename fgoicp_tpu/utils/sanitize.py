@@ -37,14 +37,14 @@ def _fail(msg: str):
 def check_heap(heap, context: str = "outer heap") -> None:
     """Structural invariants of the host outer frontier.
 
-    Entries are (lb, tie, (x, y, z, span, ub)): bounds must be finite
-    and non-negative with lb <= ub (ub may be the BIG sentinel for
-    never-evaluated requeued children, models/goicp.py), spans positive
-    and <= 1, and cube centers inside the root quaternion cube expanded
-    by their span.
+    Entries are (lb, tie, (x, y, z, span, ub, tx, ty, tz)): bounds must
+    be finite and non-negative with lb <= ub (ub may be the BIG sentinel
+    for never-evaluated requeued children, models/goicp.py), spans
+    positive and <= 1, and cube centers inside the root quaternion cube
+    expanded by their span.
     """
     for lb, _tie, node in heap:
-        x, y, z, span, ub = node
+        x, y, z, span, ub = node[:5]
         if not np.isfinite(lb) or lb < 0.0:
             _fail(f"{context}: node lb {lb} not finite/non-negative")
         if lb > ub + 1e-6 * max(abs(ub), 1.0):

@@ -91,9 +91,12 @@ def main():
         wall = time.time() - t0
         ok = 0
         for r, R_true, t_true in zip(results, Rs, ts):
+            # t tolerance is relative to the CLOUD SPAN, not |t_true|:
+            # the subsampled-target NN floor displaces the optimum by a
+            # span-relative amount however small the true shift was
+            # (bench.py serving_fallback rationale).
             good = (np.abs(r.R - R_true).max() < 5e-3
-                    and np.abs(r.t - t_true).max()
-                    < 5e-3 * max(np.abs(t_true).max(), 1e-9))
+                    and np.abs(r.t - t_true).max() < 2e-3 * span)
             ok += good
         n_cert = sum(r.certified for r in results)
         n_fb = sum(r.fallback_used for r in results)

@@ -23,8 +23,8 @@ def _pair(seed=0, n=150):
 
 def test_roundtrip_low_level(tmp_path):
     path = str(tmp_path / "state.npz")
-    heap = [(0.5, 0, (0.1, 0.2, 0.3, 0.25, 1.5)),
-            (1.5, 1, (-0.1, -0.2, -0.3, 0.5, 9.9))]
+    heap = [(0.5, 0, (0.1, 0.2, 0.3, 0.25, 1.5, 0.01, -0.02, 0.03)),
+            (1.5, 1, (-0.1, -0.2, -0.3, 0.5, 9.9, 0.0, 0.0, 0.0))]
     ckpt.save(path, heap=heap, tie=7, best_sse=1.25,
               best_rotation=np.eye(3), best_translation=np.zeros(3),
               stats={"outer_steps": 3}, fingerprint="abc")
@@ -34,6 +34,13 @@ def test_roundtrip_low_level(tmp_path):
     assert st["stats"]["outer_steps"] == 3
     with pytest.raises(ValueError, match="fingerprint"):
         ckpt.load(path, fingerprint="different")
+    # Back-compat: 5-wide (pre-r5) node items load padded with t=0.
+    ckpt.save(path, heap=[(0.5, 0, (0.1, 0.2, 0.3, 0.25, 1.5))],
+              tie=1, best_sse=1.0, best_rotation=np.eye(3),
+              best_translation=np.zeros(3), stats={}, fingerprint="abc")
+    st = ckpt.load(path, fingerprint="abc")
+    assert st["heap"] == [
+        (0.5, 0, (0.1, 0.2, 0.3, 0.25, 1.5, 0.0, 0.0, 0.0))]
 
 
 def test_goicp_resume_matches_fresh(tmp_path):

@@ -199,6 +199,35 @@ def test_ragged_batch_certifies(problem):
         assert float(np.mean(d ** 2)) < 1e-3
 
 
+def test_ragged_skewed_seed_subsample(problem):
+    """A tiny cloud in a skewed ragged batch with an active seeding
+    subsample: the per-pair subsample must draw each pair's REAL rows —
+    a shared index set drawn from the padded range seeded the small
+    pair on zero-weight padding (and could draw an all-padding
+    subsample: zero total weight => NaN Procrustes poses)."""
+    pct, *_ = problem
+    rng = np.random.default_rng(9)
+    clouds, Rs, ts = [], [], []
+    for ns in (24, 400):
+        idx = rng.choice(len(pct), size=ns, replace=False)
+        R = _rot(rng.normal(size=3), 0.3)
+        t = rng.uniform(-0.1, 0.1, size=3).astype(np.float32)
+        clouds.append((pct[idx] - t) @ R)
+        Rs.append(R)
+        ts.append(t)
+    srv = serving.RegistrationService(
+        pct, mse_threshold=1e-3, seed_subsample=64,
+        engine=std_engine(icp_multi_start=True))
+    results = srv.register(clouds)
+    for r, R_true, cl in zip(results, Rs, clouds):
+        assert np.all(np.isfinite(r.R)) and np.all(np.isfinite(r.t))
+        assert np.isfinite(r.sse)
+        mapped = cl @ np.asarray(r.R).T + np.asarray(r.t)
+        d = np.min(np.linalg.norm(
+            mapped[:, None, :] - pct[None, :, :], axis=-1), axis=1)
+        assert float(np.mean(d ** 2)) < 1e-3
+
+
 def test_ragged_rejects_trim(problem):
     pct, *_ = problem
     srv = serving.RegistrationService(pct, trim_fraction=0.2,
