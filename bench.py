@@ -328,7 +328,10 @@ def bench_serving(lines):
     srv2 = serving.RegistrationService(pct, mse_threshold=3.5e-4)
     for i in range(2):
         t0 = time.time()
-        results2 = srv2.register(np.stack(sources2))
+        # register() accepts the (possibly ragged) sequence directly —
+        # np.stack would crash on unequal partial-view sizes before any
+        # benching if a half-space cut ever shrinks below the draw.
+        results2 = srv2.register(sources2)
         wall2 = time.time() - t0
         n_fb2 = sum(r.fallback_used for r in results2)
         _log(f"serving_fallback {'cold' if i == 0 else 'steady'}: "

@@ -382,10 +382,7 @@ class GoICP:
                            np.eye(3, dtype=np.float32)])
             t0 = np.stack([self._seed_pose[1], np.zeros(3, np.float32)])
         elif self.engine.icp_multi_start:
-            starts = geo.multi_start_cube_coords()
-            R0 = np.concatenate([
-                np.eye(3, dtype=np.float32)[None],
-                np.asarray(geo.quat_cube_to_matrix(jnp.asarray(starts)))])
+            R0 = geo.multi_start_rotations()
             t0 = np.zeros((len(R0), 3), np.float32)
         else:
             R0 = np.eye(3, dtype=np.float32)[None]
@@ -409,11 +406,9 @@ class GoICP:
             # identity) would skip the very starts the cascade rescues
             # hard pairs with.
             if self._seed_pose is not None and e.icp_multi_start:
-                starts = geo.multi_start_cube_coords()
+                starts = geo.multi_start_rotations(include_identity=False)
                 R = np.concatenate([
-                    np.asarray(R[:len(R0)], np.float32),
-                    np.asarray(geo.quat_cube_to_matrix(
-                        jnp.asarray(starts)))])
+                    np.asarray(R[:len(R0)], np.float32), starts])
                 t = np.concatenate([
                     np.asarray(t[:len(R0)], np.float32),
                     np.zeros((len(starts), 3), np.float32)])

@@ -82,13 +82,12 @@ class ServiceStats:
 
 def start_rotations(multi_start: bool = True) -> np.ndarray:
     """[S, 3, 3] ICP seed rotations: identity (+ the engine's 14-start
-    octant/face-center set, geometry.multi_start_cube_coords)."""
-    eye = np.eye(3, dtype=np.float32)[None]
+    octant/face-center set) — delegates to the ONE shared builder
+    (geometry.multi_start_rotations) so the serving sweep and the
+    engine's cascade always use the same start set."""
     if not multi_start:
-        return eye
-    starts = geo.multi_start_cube_coords()
-    R = np.asarray(geo.quat_cube_to_matrix(jnp.asarray(starts)), np.float32)
-    return np.concatenate([eye, R])
+        return np.eye(3, dtype=np.float32)[None]
+    return geo.multi_start_rotations()
 
 
 @functools.partial(jax.jit, static_argnames=("trim_keep", "max_iter",
@@ -285,7 +284,11 @@ class RegistrationService:
                 s_sub = self.seed_subsample
                 rows = []
                 for wrow in np.asarray(point_weights):
-                    n_real = max(1, int(round(float(wrow.sum()))))
+                    # register() builds BINARY prefix weights (real rows
+                    # first, zero-weight padding after); count nonzeros
+                    # rather than summing so any future soft weights
+                    # still index only real rows.
+                    n_real = max(1, int(np.count_nonzero(wrow)))
                     perm = rng.permutation(n_real)
                     reps = -(-s_sub // n_real)
                     rows.append(np.tile(perm, reps)[:s_sub])

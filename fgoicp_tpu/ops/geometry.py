@@ -126,6 +126,19 @@ def multi_start_cube_coords() -> np.ndarray:
     return np.asarray(octants + faces, np.float32)
 
 
+def multi_start_rotations(include_identity: bool = True) -> np.ndarray:
+    """[S, 3, 3] seed rotation matrices for the multi-start sweeps --
+    THE one builder every sweep shares (goicp._initial_icp stages,
+    serving.start_rotations): a future change to the start set must not
+    leave the serving-fallback cascade sweeping a different set than
+    fresh runs."""
+    R = np.asarray(quat_cube_to_matrix(
+        jnp.asarray(multi_start_cube_coords())), np.float32)
+    if include_identity:
+        R = np.concatenate([np.eye(3, dtype=np.float32)[None], R])
+    return R
+
+
 # ---------------------------------------------------------------------------
 # Cloud normalization (fgoicp.cpp:176-287, fgoicp.hpp:87-90)
 # ---------------------------------------------------------------------------

@@ -45,6 +45,8 @@ def check_heap(heap, context: str = "outer heap") -> None:
     """
     for lb, _tie, node in heap:
         x, y, z, span, ub = node[:5]
+        if len(node) >= 8 and not all(np.isfinite(v) for v in node[5:8]):
+            _fail(f"{context}: node translation {node[5:8]} not finite")
         if not np.isfinite(lb) or lb < 0.0:
             _fail(f"{context}: node lb {lb} not finite/non-negative")
         if lb > ub + 1e-6 * max(abs(ub), 1.0):

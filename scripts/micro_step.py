@@ -116,13 +116,18 @@ def main():
 
     lo, hi = args.steps, 2 * args.steps
     ran = int(pooled(hi).steps)
+    if ran <= lo:
+        raise SystemExit(
+            f"pool drains at step {ran} <= --steps {lo}: the finite "
+            f"difference would measure nothing — pass --steps <= "
+            f"{max(1, ran // 2)}")
     if ran < hi:
         print(f"WARNING: pool drains at step {ran} < {hi}; pass "
-              f"--steps <= {max(1, ran // 2)} for a valid difference",
+              f"--steps <= {max(1, ran // 2)} for a clean difference",
               file=sys.stderr)
     w = timeit(pooled, lo)
     w2 = timeit(pooled, hi)
-    per_step = (w2 - w) / max(1, min(ran, hi) - min(ran, lo))
+    per_step = (w2 - w) / (min(ran, hi) - lo)
     print(f"pooled/step: {per_step * 1e3:.2f} ms -> scheduler overhead "
           f"{(per_step - per_kernel) * 1e3:.2f} ms/step")
 
